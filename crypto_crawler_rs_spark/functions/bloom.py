@@ -1,0 +1,161 @@
+"""Persistent, sharded Bloom filter for the URL-seen set.
+
+The reference keeps its seen-set (``subscribed_symbols``) as an
+in-memory Vec probed linearly every discovery tick
+(crypto-crawler/src/crawlers/utils.rs:543-555).  At 10^10 URLs that
+is neither durable nor distributable, so the engine uses a two-level
+design (SURVEY.md §2.4 J1):
+
+1. a **sharded Bloom filter** (this module) broadcast to executors
+   prunes the overwhelmingly-common "definitely unseen" case without
+   a shuffle;
+2. an exact ``left_anti`` join against the bucketed ``seen`` table
+   confirms survivors — Bloom false positives NEVER affect
+   correctness, only the amount of work the exact join sees.
+
+Shards are keyed by ``pmod(host_hash, n_shards)`` so each shard
+matches a seen-table bucket; at cluster scale each executor only
+probes the shards of the partitions it holds.  Bits derive from the
+64-bit ``url_hash`` via double hashing (Kirsch–Mitzenmacher), fully
+vectorized in numpy.
+
+A counting-filter variant (``counts`` mode) supports deletion — the
+cuckoo-filter fallback of BASELINE.json north_rule (the reference's
+unsubscribe path, crypto-ws-client/src/common/ws_client_internal.rs:313-317).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class ShardedBloom:
+    def __init__(
+        self,
+        n_shards: int = 32,
+        bits_per_shard: int = 1 << 20,
+        n_hashes: int = 5,
+        counting: bool = False,
+    ):
+        assert bits_per_shard % 8 == 0
+        self.n_shards = n_shards
+        self.bits_per_shard = bits_per_shard
+        self.n_hashes = n_hashes
+        self.counting = counting
+        if counting:
+            self._arr = np.zeros((n_shards, bits_per_shard), dtype=np.uint8)
+        else:
+            self._arr = np.zeros((n_shards, bits_per_shard // 8), dtype=np.uint8)
+
+    # -- positions --------------------------------------------------
+    def _positions(self, url_hash: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing on the u64 hash."""
+        u = url_hash.astype(np.int64).view(np.uint64)
+        h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h2 = (u >> np.uint64(32)).astype(np.uint64)
+        # ensure h2 odd so the stride cycles the table
+        h2 = h2 | np.uint64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) & _MASK64
+        return (pos % np.uint64(self.bits_per_shard)).astype(np.int64)
+
+    @staticmethod
+    def shard_of(host_hash: np.ndarray, n_shards: int) -> np.ndarray:
+        # pmod like Spark's pmod(hash, n)
+        return np.mod(host_hash.astype(np.int64), n_shards).astype(np.int64) % n_shards
+
+    # -- mutate -----------------------------------------------------
+    def add(self, host_hash: np.ndarray, url_hash: np.ndarray) -> None:
+        if len(url_hash) == 0:
+            return
+        shards = self.shard_of(np.asarray(host_hash), self.n_shards)
+        pos = self._positions(np.asarray(url_hash))
+        if self.counting:
+            for k in range(self.n_hashes):
+                np.add.at(self._arr, (shards, pos[:, k]), 1)
+        else:
+            byte = pos >> 3
+            bit = (np.uint8(1) << (pos & 7).astype(np.uint8)).astype(np.uint8)
+            for k in range(self.n_hashes):
+                np.bitwise_or.at(self._arr, (shards, byte[:, k]), bit[:, k])
+
+    def delete(self, host_hash: np.ndarray, url_hash: np.ndarray) -> None:
+        """Counting-mode only (cuckoo-style deletion fallback)."""
+        if not self.counting:
+            raise ValueError("delete requires counting=True")
+        if len(url_hash) == 0:
+            return
+        shards = self.shard_of(np.asarray(host_hash), self.n_shards)
+        pos = self._positions(np.asarray(url_hash))
+        for k in range(self.n_hashes):
+            idx = (shards, pos[:, k])
+            cur = self._arr[idx]
+            np.subtract.at(self._arr, idx, np.where(cur > 0, 1, 0).astype(np.uint8))
+
+    # -- probe ------------------------------------------------------
+    def probe(self, host_hash: np.ndarray, url_hash: np.ndarray) -> np.ndarray:
+        if len(url_hash) == 0:
+            return np.zeros(0, dtype=bool)
+        shards = self.shard_of(np.asarray(host_hash), self.n_shards)
+        pos = self._positions(np.asarray(url_hash))
+        out = np.ones(len(url_hash), dtype=bool)
+        if self.counting:
+            for k in range(self.n_hashes):
+                out &= self._arr[shards, pos[:, k]] > 0
+        else:
+            byte = pos >> 3
+            bit = (np.uint8(1) << (pos & 7).astype(np.uint8)).astype(np.uint8)
+            for k in range(self.n_hashes):
+                out &= (self._arr[shards, byte[:, k]] & bit[:, k]) != 0
+        return out
+
+    # -- persistence (one file per snapshot; shards pruned on load
+    #    when a caller only needs a bucket subset) -------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "bits.npy"), self._arr)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "n_shards": self.n_shards,
+                    "bits_per_shard": self.bits_per_shard,
+                    "n_hashes": self.n_hashes,
+                    "counting": self.counting,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ShardedBloom":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        obj = cls(**meta)
+        obj._arr = np.load(os.path.join(path, "bits.npy"))
+        return obj
+
+
+def bloom_probe_udf(spark, bloom: ShardedBloom):
+    """Build an Arrow-batched probe UDF over a broadcast of the
+    filter bits.  Returns a (host_hash, url_hash) -> bool pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bc = spark.sparkContext.broadcast(
+        (bloom._arr, bloom.n_shards, bloom.bits_per_shard, bloom.n_hashes, bloom.counting)
+    )
+
+    @pandas_udf(BooleanType())
+    def probe(host_hash: pd.Series, url_hash: pd.Series) -> pd.Series:
+        arr, n_shards, bits, k, counting = bc.value
+        b = ShardedBloom(n_shards, bits, k, counting)
+        b._arr = arr
+        res = b.probe(host_hash.to_numpy(), url_hash.to_numpy())
+        return pd.Series(res)
+
+    return probe

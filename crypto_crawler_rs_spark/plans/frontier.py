@@ -1,0 +1,456 @@
+"""FrontierScheduler — the batch-iterative crawl engine.
+
+Spark restatement of the reference's flagship entry point
+``crawl_trade`` (crypto-crawler/src/lib.rs:233-250 →
+crypto-crawler/src/crawlers/utils.rs:701-826): the per-connection
+tokio task graph becomes one DataFrame super-step per round
+(SURVEY.md §3.1):
+
+    frontier → broadcast policy join → robots filter → eligibility
+    (backoff/crawl-delay) → salted per-host budget pop → scalable
+    global rank → fetch join vs pages → extract_text (Arrow UDF) →
+    host-state fold → seen append (+ sharded Bloom) → outlink
+    discovery (bloom-prefiltered anti-join) → next frontier
+
+Exactly two materially-sized shuffles per round: the per-host pop
+window and the discovery anti-join, both keyed so AQE/salting keep
+partitions bounded under host skew.  Policy and host-state are
+broadcast-or-hash joins on ``host`` (bounded by the host count, the
+reference's endpoint-coalescing insight, lock.rs:43-122).
+
+Semantics are defined by plans/oracle.py — the engine must match it
+exactly (ordering, seen-set, bytes).  Scale notes are inline; the
+corpus is read from parquet here, an Iceberg catalog on a real
+cluster (state.py docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bloom import ShardedBloom, bloom_probe_udf
+from ..functions.text import extract_text_udf, outlinks_udf
+from ..functions.urls import canonicalize_udf, host_udf
+from ..operators.pop import pop_per_host
+from ..operators.rank import global_rank
+from .oracle import DEFAULT_BUDGET, DEFAULT_DELAY, MAX_BACKOFF, UNKNOWN_RANK
+from .state import StateStore
+
+FETCHED_COLS = [
+    "round",
+    "rank_in_round",
+    "url",
+    "host",
+    "depth",
+    "priority",
+    "status",
+    "text",
+    "text_sha256",
+]
+
+
+@dataclass
+class FrontierConfig:
+    max_rounds: int = 64
+    n_salts: int = 16
+    n_seen_buckets: int = 32
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_hashes: int = 5
+    emit_deferred: bool = True  # log over_budget rows (FIXTURES.md §4)
+    unknown_rank: int = UNKNOWN_RANK
+    default_budget: int = DEFAULT_BUDGET
+    default_delay: int = DEFAULT_DELAY
+    max_backoff: int = MAX_BACKOFF
+
+
+class FrontierScheduler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        host_policy: DataFrame,
+        state_dir: str,
+        config: FrontierConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or FrontierConfig()
+        self.store = StateStore(spark, state_dir)
+        # pages.url is canonicalized once up-front so the fetch join
+        # key matches engine-canonical candidate urls.
+        # scale: pages is the 100 TB table — this projection prunes to
+        # (url, html) at scan time; bucketing pages by url would make
+        # the fetch join shuffle-free on a cluster.
+        self.pages = pages.withColumn("url", canonicalize_udf(F.col("url")))
+        self.policy = host_policy
+
+    # -- candidate decoration -----------------------------------------
+    def _with_policy(self, df: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        return (
+            df.join(F.broadcast(self.policy), "host", "left")
+            .withColumn("host_rank", F.coalesce("host_rank", F.lit(cfg.unknown_rank)))
+            .withColumn(
+                "budget_per_round",
+                F.coalesce("budget_per_round", F.lit(cfg.default_budget)),
+            )
+            .withColumn(
+                "robots_disallow",
+                F.coalesce("robots_disallow", F.array().cast("array<string>")),
+            )
+            .withColumn(
+                "crawl_delay_rounds",
+                F.coalesce("crawl_delay_rounds", F.lit(cfg.default_delay)),
+            )
+            .withColumn("is_hot", F.coalesce("is_hot", F.lit(False)))
+            .withColumn("priority", (F.col("depth") + F.col("host_rank")).cast("long"))
+        )
+
+    @staticmethod
+    def _with_path(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "path", F.regexp_replace("url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+", "")
+        )
+
+    def _empty_host_state(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "host string, next_eligible int, backoff int"
+        )
+
+    def _seen_delta(self, df: DataFrame, rnd: int) -> DataFrame:
+        return df.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.hash("host").alias("host_hash"),
+            F.lit(rnd).alias("added_round"),
+        )
+
+    # -- init / resume --------------------------------------------------
+    def init_state(self, seeds: DataFrame) -> dict:
+        """Round-0 state from a seed list (messy urls allowed)."""
+        frontier = (
+            seeds.withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", host_udf(F.col("url")))
+            .groupBy("url", "host")
+            .agg(F.min("depth").cast("int").alias("depth"))
+        )
+        fpath = self.store.write(frontier, 0, "frontier")
+        hpath = self.store.write(self._empty_host_state(), 0, "host_state")
+        bloom = ShardedBloom(
+            self.cfg.n_seen_buckets, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes
+        )
+        bpath = self.store.round_dir(0, "bloom")
+        bloom.save(bpath)
+        manifest = {
+            "round": 0,
+            "frontier": fpath,
+            "host_state": hpath,
+            "bloom": bpath,
+            "seen": [],
+            "fetched": [],
+            "metrics": [],
+        }
+        self.store.commit(manifest)
+        return manifest
+
+    # -- one super-step ---------------------------------------------------
+    def run_round(self, manifest: dict) -> dict:
+        cfg = self.cfg
+        rnd = manifest["round"]
+        frontier = self.store.read(manifest["frontier"])
+        host_state = self.store.read(manifest["host_state"])
+        seen = self.store.read_union(manifest["seen"])
+        bloom = ShardedBloom.load(manifest["bloom"])
+
+        cand = self._with_path(self._with_policy(frontier)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+        # robots: denied once, logged, marked seen, dropped
+        denied_cond = F.exists(
+            "robots_disallow", lambda p: F.col("path").startswith(p)
+        )
+        denied = cand.filter(denied_cond)
+        allowed = cand.filter(~denied_cond)
+
+        # eligibility: host backoff / crawl-delay watermark (T1/T4)
+        allowed = allowed.join(host_state, "host", "left").withColumn(
+            "_eligible", F.coalesce("next_eligible", F.lit(0)) <= F.lit(rnd)
+        )
+        waiting = allowed.filter(~F.col("_eligible"))
+        eligible = allowed.filter(F.col("_eligible"))
+
+        # per-host budgeted pop with hot-host salting (O1/T5)
+        popped = pop_per_host(
+            eligible.select(
+                "url", "host", "depth", "priority", "budget_per_round", "is_hot"
+            ),
+            n_salts=cfg.n_salts,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        deferred = popped.filter(~F.col("scheduled"))
+        scheduled = popped.filter(F.col("scheduled"))
+
+        # deterministic global pop order: (priority, url) — scalable rank
+        ranked = global_rank(
+            scheduled.select("url", "host", "depth", "priority"),
+            ["priority", "url"],
+            out_col="rank_in_round",
+        )
+
+        # fetch join + byte-identical extract (S2/J7/C11)
+        fetched = (
+            ranked.join(
+                self.pages.select("url", "html"), "url", "left"
+            )
+            .withColumn(
+                "status", F.when(F.col("html").isNull(), "missing").otherwise("ok")
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("html").isNotNull(), extract_text_udf(F.col("html"))
+                ),
+            )
+            .withColumn("text_sha256", F.sha2(F.col("text"), 256))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        log = fetched.select(
+            F.lit(rnd).alias("round"),
+            "rank_in_round",
+            "url",
+            "host",
+            "depth",
+            "priority",
+            "status",
+            "text",
+            "text_sha256",
+        )
+        log = log.unionByName(
+            denied.select(
+                F.lit(rnd).alias("round"),
+                F.lit(None).cast("long").alias("rank_in_round"),
+                "url",
+                "host",
+                "depth",
+                "priority",
+                F.lit("robots_denied").alias("status"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("text_sha256"),
+            )
+        )
+        if cfg.emit_deferred:
+            log = log.unionByName(
+                deferred.select(
+                    F.lit(rnd).alias("round"),
+                    F.lit(None).cast("long").alias("rank_in_round"),
+                    "url",
+                    "host",
+                    "depth",
+                    "priority",
+                    F.lit("over_budget").alias("status"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("text_sha256"),
+                )
+            )
+        fetched_path = self.store.write(log.select(*FETCHED_COLS), rnd, "fetched")
+
+        # host-state fold (A3): success resets backoff, all-fail doubles
+        stats = fetched.groupBy("host").agg(
+            F.max(F.col("status") == "ok").alias("any_ok")
+        )
+        stats = stats.join(
+            F.broadcast(self.policy.select("host", "crawl_delay_rounds")),
+            "host",
+            "left",
+        ).withColumn(
+            "crawl_delay_rounds",
+            F.coalesce("crawl_delay_rounds", F.lit(cfg.default_delay)),
+        )
+        new_state = (
+            host_state.join(stats, "host", "full_outer")
+            .withColumn("_old_backoff", F.coalesce("backoff", F.lit(1)))
+            .withColumn(
+                "backoff",
+                F.when(F.col("any_ok").isNull(), F.col("_old_backoff"))
+                .when(F.col("any_ok"), F.lit(1))
+                .otherwise(F.least(F.col("_old_backoff") * 2, F.lit(cfg.max_backoff))),
+            )
+            .withColumn(
+                "next_eligible",
+                F.when(
+                    F.col("any_ok").isNull(), F.coalesce("next_eligible", F.lit(0))
+                )
+                .when(F.col("any_ok"), F.lit(rnd) + F.col("crawl_delay_rounds"))
+                .otherwise(F.lit(rnd) + F.col("backoff")),
+            )
+            .select("host", "next_eligible", "backoff")
+        )
+        host_state_path = self.store.write(new_state, rnd + 1, "host_state")
+
+        # seen append: scheduled (ok+missing) + robots-denied (J1/U2)
+        seen_delta = self._seen_delta(
+            fetched.select("url", "host").unionByName(denied.select("url", "host")),
+            rnd,
+        )
+        seen_path = self.store.write(
+            seen_delta.repartition(cfg.n_seen_buckets, F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets))),
+            rnd,
+            "seen_delta",
+        )
+        seen_delta = self.store.read(seen_path)
+
+        # bloom maintenance.
+        # scale: at cluster scale this becomes a distributed bitmap-OR
+        # (per-partition bloom build via applyInPandas, reduced on the
+        # driver per shard); the round delta here is budget-bounded so
+        # a direct collect of (host_hash, url_hash) stays small.
+        delta_pd = seen_delta.select("host_hash", "url_hash").toPandas()
+        bloom.add(delta_pd["host_hash"].to_numpy(), delta_pd["url_hash"].to_numpy())
+        bloom_path = self.store.round_dir(rnd + 1, "bloom")
+        bloom.save(bloom_path)
+
+        # discovery (T8): outlinks of ok pages -> canonical -> unseen
+        ok = fetched.filter(F.col("status") == "ok")
+        links = (
+            ok.select(
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                F.explode(outlinks_udf(F.col("html"))).alias("raw_url"),
+            )
+            .withColumn("url", canonicalize_udf(F.col("raw_url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", host_udf(F.col("url")))
+            .groupBy("url", "host")
+            .agg(F.min("depth").alias("depth"))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host_hash", F.hash("host"))
+        )
+
+        # bloom prefilter: probe==False is DEFINITELY unseen (skips the
+        # exact join); probe==True goes to the exact anti-join which
+        # kills false positives — correctness never depends on bloom.
+        probe = bloom_probe_udf(self.spark, bloom)
+        links = links.withColumn(
+            "maybe_seen", probe(F.col("host_hash"), F.col("url_hash"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        definitely_new = links.filter(~F.col("maybe_seen"))
+        all_seen = seen_delta if seen is None else seen.unionByName(seen_delta)
+        confirmed_new = links.filter(F.col("maybe_seen")).join(
+            all_seen.select("url"), "url", "left_anti"
+        )
+        discovered = definitely_new.unionByName(confirmed_new).select(
+            "url", "host", "depth"
+        )
+
+        # next frontier: waiting ∪ deferred ∪ discovered, min depth per url
+        next_frontier = (
+            waiting.select("url", "host", "depth")
+            .unionByName(deferred.select("url", "host", "depth"))
+            .unionByName(discovered)
+            .groupBy("url", "host")
+            .agg(F.min("depth").cast("int").alias("depth"))
+        )
+        frontier_path = self.store.write(next_frontier, rnd + 1, "frontier")
+
+        # metrics: per seen-bucket lineage counters (K3/A2)
+        bucket = F.pmod(F.hash("host"), F.lit(cfg.n_seen_buckets)).alias("partition_id")
+        m1 = cand.select(bucket, F.lit(1).alias("candidates"))
+        m2 = fetched.select(
+            bucket,
+            F.when(F.col("status") == "ok", 1).otherwise(0).alias("fetched_ok"),
+            F.when(F.col("status") == "missing", 1).otherwise(0).alias("errors"),
+            F.lit(1).alias("scheduled"),
+        )
+        m3 = links.select(
+            bucket,
+            F.when(~F.col("maybe_seen"), 1).otherwise(0).alias("bloom_pruned"),
+        )
+        metrics = (
+            m1.groupBy("partition_id")
+            .agg(F.sum("candidates").alias("candidates"))
+            .join(
+                m2.groupBy("partition_id").agg(
+                    F.sum("scheduled").alias("scheduled"),
+                    F.sum("fetched_ok").alias("fetched_ok"),
+                    F.sum("errors").alias("errors"),
+                ),
+                "partition_id",
+                "full_outer",
+            )
+            .join(
+                m3.groupBy("partition_id").agg(
+                    F.sum("bloom_pruned").alias("bloom_pruned"),
+                    F.count("*").alias("discovered_links"),
+                ),
+                "partition_id",
+                "full_outer",
+            )
+            .withColumn("round", F.lit(rnd))
+        )
+        metrics_path = self.store.write(metrics, rnd, "metrics", partitions=1)
+
+        n_frontier = self.store.read(frontier_path).count()
+        for df in (cand, popped, fetched, links):
+            df.unpersist()
+
+        new_manifest = {
+            "round": rnd + 1,
+            "frontier": frontier_path,
+            "host_state": host_state_path,
+            "bloom": bloom_path,
+            "seen": manifest["seen"] + [seen_path],
+            "fetched": manifest["fetched"] + [fetched_path],
+            "metrics": manifest["metrics"] + [metrics_path],
+            "frontier_size": n_frontier,
+        }
+        self.store.commit(new_manifest)
+        return new_manifest
+
+    # -- full crawl ------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None) -> dict:
+        """Run (or resume) the crawl to completion.
+
+        Resume semantics (T3 analog): if a manifest exists, we restart
+        from its snapshot — any half-written round directories are
+        unreferenced and invisible, so the interrupted round replays
+        idempotently.
+        """
+        max_rounds = max_rounds or self.cfg.max_rounds
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            if seeds is None:
+                raise ValueError("no checkpoint to resume and no seeds given")
+            manifest = self.init_state(seeds)
+        while manifest["round"] < max_rounds:
+            if manifest.get("frontier_size") == 0:
+                break
+            if manifest["round"] > 0 and "frontier_size" not in manifest:
+                if self.store.read(manifest["frontier"]).isEmpty():
+                    break
+            manifest = self.run_round(manifest)
+        return manifest
+
+    # -- result readers ----------------------------------------------------
+    def fetched(self, manifest: dict | None = None) -> DataFrame:
+        manifest = manifest or self.store.read_manifest()
+        df = self.store.read_union(manifest["fetched"])
+        if df is None:
+            df = self.spark.createDataFrame(
+                [],
+                "round int, rank_in_round long, url string, host string, "
+                "depth int, priority long, status string, text string, "
+                "text_sha256 string",
+            )
+        return df
+
+    def seen(self, manifest: dict | None = None) -> DataFrame | None:
+        manifest = manifest or self.store.read_manifest()
+        return self.store.read_union(manifest["seen"])
+
+    def metrics(self, manifest: dict | None = None) -> DataFrame | None:
+        manifest = manifest or self.store.read_manifest()
+        return self.store.read_union(manifest["metrics"])

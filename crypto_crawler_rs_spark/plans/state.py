@@ -1,0 +1,78 @@
+"""Snapshot state store — Iceberg-style commit semantics on plain
+parquet.
+
+The reference has NO durable state: a crash loses the subscribed-set
+and relies on pm2 restarting the process
+(crypto-crawler/src/crawlers/utils.rs:557-561).  The north rule makes
+durability a requirement: state checkpoints every round and a killed
+job resumes exactly.
+
+This sandbox has no Iceberg runtime jar, so we reproduce the part of
+Iceberg we rely on — atomic snapshot commits over immutable files —
+directly:
+
+* every round writes its outputs under ``rounds/{round:06d}/...``
+  (immutable once written);
+* a ``manifest.json`` names the CURRENT snapshot: the latest
+  frontier/host_state paths and the explicit list of fetched / seen /
+  metrics delta directories that are part of the table;
+* the manifest is committed by write-temp + ``os.replace`` (atomic on
+  POSIX).  A crash mid-round leaves orphan directories that no
+  manifest references — readers never see them, so replaying the
+  round is idempotent (exactly-once append semantics).
+
+On a real cluster the same class runs against an Iceberg catalog by
+swapping ``_read``/``_write`` for ``spark.table``/``writeTo`` — the
+round loop does not change (recorded as a config switch per
+SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict[str, Any] | None:
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit(self, manifest: dict[str, Any]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+
+    # -- round-scoped writes ------------------------------------------
+    def round_dir(self, rnd: int, name: str) -> str:
+        return os.path.join(self.root, "rounds", f"{rnd:06d}", name)
+
+    def write(self, df: DataFrame, rnd: int, name: str, partitions: int | None = None) -> str:
+        path = self.round_dir(rnd, name)
+        w = df.repartition(partitions) if partitions else df
+        w.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_union(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
