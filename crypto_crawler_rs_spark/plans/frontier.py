@@ -61,6 +61,12 @@ class FrontierConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
     emit_deferred: bool = True  # log over_budget rows (FIXTURES.md §4)
+    cache_pages: bool = True  # cache (url, html) projection (see __init__)
+    # below this frontier size the deterministic global rank uses a
+    # cheap single-partition window; above it, the scalable two-pass
+    # range-partitioned rank (operators/rank.py)
+    small_rank_threshold: int = 200_000
+    compact_seen_every: int = 8  # merge seen deltas every N rounds
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -85,6 +91,24 @@ class FrontierScheduler:
         # (url, html) at scan time; bucketing pages by url would make
         # the fetch join shuffle-free on a cluster.
         self.pages = pages.withColumn("url", canonicalize_udf(F.col("url")))
+        if self.cfg.cache_pages:
+            # cache the (url, html) fetch projection so the
+            # canonicalize UDF runs once, not once per round-job, and
+            # pre-partition it on the join key: InMemoryTableScan
+            # preserves outputPartitioning, so every round's fetch
+            # join shuffles ONLY the (small) scheduled side.
+            # scale: at 100 TB you do NOT cache — pages should already
+            # be stored canonical in url-bucketed Iceberg (a one-off
+            # materialization); bucketing gives the same one-sided
+            # shuffle on a cluster.
+            n_buckets = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            self.pages = (
+                self.pages.select("url", "html")
+                .repartition(n_buckets, F.col("url"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         self.policy = host_policy
 
     # -- candidate decoration -----------------------------------------
@@ -194,12 +218,23 @@ class FrontierScheduler:
         deferred = popped.filter(~F.col("scheduled"))
         scheduled = popped.filter(F.col("scheduled"))
 
-        # deterministic global pop order: (priority, url) — scalable rank
-        ranked = global_rank(
-            scheduled.select("url", "host", "depth", "priority"),
-            ["priority", "url"],
-            out_col="rank_in_round",
-        )
+        # deterministic global pop order: (priority, url).  Small
+        # rounds take a single-partition window (1 job); big rounds
+        # take the scalable two-pass range-partitioned rank.  Both
+        # produce the identical total order.
+        sched_slim = scheduled.select("url", "host", "depth", "priority")
+        if (
+            manifest.get("frontier_size", cfg.small_rank_threshold)
+            < cfg.small_rank_threshold
+        ):
+            from pyspark.sql import Window
+
+            w = Window.orderBy("priority", "url")
+            ranked = sched_slim.withColumn(
+                "rank_in_round", F.row_number().over(w).cast("long")
+            )
+        else:
+            ranked = global_rank(sched_slim, ["priority", "url"], out_col="rank_in_round")
 
         # fetch join + byte-identical extract (S2/J7/C11)
         fetched = (
@@ -356,38 +391,53 @@ class FrontierScheduler:
         )
         frontier_path = self.store.write(next_frontier, rnd + 1, "frontier")
 
-        # metrics: per seen-bucket lineage counters (K3/A2)
+        # metrics: per seen-bucket lineage counters (K3/A2) — one
+        # unioned pass, single shuffle
         bucket = F.pmod(F.hash("host"), F.lit(cfg.n_seen_buckets)).alias("partition_id")
-        m1 = cand.select(bucket, F.lit(1).alias("candidates"))
+        zero = F.lit(0)
+        m1 = cand.select(
+            bucket,
+            F.lit(1).alias("candidates"),
+            zero.alias("scheduled"),
+            zero.alias("fetched_ok"),
+            zero.alias("errors"),
+            zero.alias("bloom_pruned"),
+            zero.alias("discovered_links"),
+        )
         m2 = fetched.select(
             bucket,
+            zero.alias("candidates"),
+            F.lit(1).alias("scheduled"),
             F.when(F.col("status") == "ok", 1).otherwise(0).alias("fetched_ok"),
             F.when(F.col("status") == "missing", 1).otherwise(0).alias("errors"),
-            F.lit(1).alias("scheduled"),
+            zero.alias("bloom_pruned"),
+            zero.alias("discovered_links"),
         )
         m3 = links.select(
             bucket,
+            zero.alias("candidates"),
+            zero.alias("scheduled"),
+            zero.alias("fetched_ok"),
+            zero.alias("errors"),
             F.when(~F.col("maybe_seen"), 1).otherwise(0).alias("bloom_pruned"),
+            F.lit(1).alias("discovered_links"),
         )
         metrics = (
-            m1.groupBy("partition_id")
-            .agg(F.sum("candidates").alias("candidates"))
-            .join(
-                m2.groupBy("partition_id").agg(
-                    F.sum("scheduled").alias("scheduled"),
-                    F.sum("fetched_ok").alias("fetched_ok"),
-                    F.sum("errors").alias("errors"),
-                ),
-                "partition_id",
-                "full_outer",
-            )
-            .join(
-                m3.groupBy("partition_id").agg(
-                    F.sum("bloom_pruned").alias("bloom_pruned"),
-                    F.count("*").alias("discovered_links"),
-                ),
-                "partition_id",
-                "full_outer",
+            m1.unionByName(m2)
+            .unionByName(m3)
+            .groupBy("partition_id")
+            .agg(
+                *[
+                    F.sum(c).alias(c)
+                    for c in (
+                        "candidates",
+                        "scheduled",
+                        "fetched_ok",
+                        "errors",
+                        "bloom_pruned",
+                        "discovered_links",
+                    )
+                ]
             )
             .withColumn("round", F.lit(rnd))
         )
@@ -397,12 +447,23 @@ class FrontierScheduler:
         for df in (cand, popped, fetched, links):
             df.unpersist()
 
+        # periodic seen compaction: keep the anti-join reading a
+        # bounded number of bucketed delta dirs (Iceberg rewrite-
+        # data-files analog)
+        seen_paths = manifest["seen"] + [seen_path]
+        if len(seen_paths) >= cfg.compact_seen_every:
+            compact = self.store.read_union(seen_paths).repartition(
+                cfg.n_seen_buckets,
+                F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+            )
+            seen_paths = [self.store.write(compact, rnd + 1, "seen_compact")]
+
         new_manifest = {
             "round": rnd + 1,
             "frontier": frontier_path,
             "host_state": host_state_path,
             "bloom": bloom_path,
-            "seen": manifest["seen"] + [seen_path],
+            "seen": seen_paths,
             "fetched": manifest["fetched"] + [fetched_path],
             "metrics": manifest["metrics"] + [metrics_path],
             "frontier_size": n_frontier,
@@ -419,7 +480,8 @@ class FrontierScheduler:
         unreferenced and invisible, so the interrupted round replays
         idempotently.
         """
-        max_rounds = max_rounds or self.cfg.max_rounds
+        if max_rounds is None:
+            max_rounds = self.cfg.max_rounds
         manifest = self.store.read_manifest()
         if manifest is None:
             if seeds is None:

@@ -80,67 +80,79 @@ def gen_corpus(
     hosts = [f"host{i:03d}.example.com" for i in range(n_hosts - 1)] + [
         "hot.example.com"
     ]
+    hosts_arr = np.array(hosts, dtype=object)
     hot_idx = n_hosts - 1
     # page -> host assignment with the hot host taking hot_share
     probs = np.full(n_hosts, (1.0 - hot_share) / (n_hosts - 1))
     probs[hot_idx] = hot_share
     page_host = rng.choice(n_hosts, size=n_pages, p=probs)
 
-    # per-host page counters -> stable paths
-    urls: list[str] = []
-    counters = np.zeros(n_hosts, dtype=np.int64)
+    # per-host page counters -> stable paths (vectorized cumcount)
+    order = np.argsort(page_host, kind="stable")
+    within = np.empty(n_pages, dtype=np.int64)
+    sorted_hosts = page_host[order]
+    grp_start = np.r_[0, np.flatnonzero(np.diff(sorted_hosts)) + 1]
+    seq = np.arange(n_pages)
+    starts = np.repeat(seq[grp_start], np.diff(np.r_[grp_start, n_pages]))
+    within[order] = seq - starts
     is_private = rng.random(n_pages) < private_share
-    for i in range(n_pages):
-        h = page_host[i]
-        j = counters[h]
-        counters[h] += 1
-        prefix = "private" if is_private[i] else "p"
-        urls.append(f"https://{hosts[h]}/{prefix}/{j}")
+    prefix = np.where(is_private, "private", "p")
+    urls = [
+        f"https://{hosts_arr[h]}/{p}/{j}"
+        for h, p, j in zip(page_host, prefix, within)
+    ]
     url_arr = np.array(urls, dtype=object)
 
-    # outlink graph: mix of same-host neighbors and global (hot-skewed)
+    # outlink graph (vectorized): mix of same-host-biased and global
+    # picks over the hot-skewed page distribution itself
+    k = links_per_page
+    r = rng.random((n_pages, k))
+    cand = rng.integers(0, n_pages, (n_pages, k))
+    alt = rng.integers(0, n_pages, (n_pages, k))
+    own = page_host[:, None]
+    # same-host bias: where r<0.5 and cand is off-host but alt is
+    # on-host, take alt (one retry, as before)
+    take_alt = (r >= dead_link_share) & (r < 0.5) & (
+        page_host[cand] != own
+    ) & (page_host[alt] == own)
+    cand = np.where(take_alt, alt, cand)
+    dead = r < dead_link_share
+    messy_flag = (~dead) & (rng.random((n_pages, k)) < messy_link_share)
+    messy_kind = rng.integers(0, 4, (n_pages, k))
+    targets = url_arr[cand]
+    dead_ids = np.cumsum(dead.ravel()).reshape(dead.shape)
     link_lists: list[list[str]] = []
-    n_dead = 0
     for i in range(n_pages):
-        links: list[str] = []
-        for _ in range(links_per_page):
-            r = rng.random()
-            if r < dead_link_share:
-                links.append(f"https://{hosts[page_host[i]]}/p/dead{n_dead}")
-                n_dead += 1
-                continue
-            if r < 0.5:  # same-host neighbor
-                cand = int(rng.integers(0, n_pages))
-                # bias toward same host by retrying once
-                if page_host[cand] != page_host[i]:
-                    cand2 = int(rng.integers(0, n_pages))
-                    if page_host[cand2] == page_host[i]:
-                        cand = cand2
-            else:  # global, hot-skewed via the page distribution itself
-                cand = int(rng.integers(0, n_pages))
-            target = urls[cand]
-            if rng.random() < messy_link_share:
-                target = _messy(target, int(rng.integers(0, 4)))
-            links.append(target)
-        link_lists.append(links)
+        row = []
+        for j in range(k):
+            if dead[i, j]:
+                row.append(f"https://{hosts_arr[page_host[i]]}/p/dead{dead_ids[i, j]}")
+            elif messy_flag[i, j]:
+                row.append(_messy(targets[i, j], int(messy_kind[i, j])))
+            else:
+                row.append(targets[i, j])
+        link_lists.append(row)
 
-    titles = [
-        " ".join(rng.choice(_WORDS, size=3).tolist()).title() for _ in range(n_pages)
-    ]
+    # titles + paragraphs from pre-drawn word index matrices
+    words_arr = np.array(_WORDS, dtype=object)
+    title_idx = rng.integers(0, len(_WORDS), (n_pages, 3))
+    titles = [" ".join(words_arr[ix]).title() for ix in title_idx]
+    n_paras = rng.integers(1, 4, n_pages)
+    para_lens = rng.integers(5, 15, (n_pages, 3))
+    para_words = words_arr[rng.integers(0, len(_WORDS), (n_pages, 3, 14))]
     paras = [
         [
-            " ".join(rng.choice(_WORDS, size=int(rng.integers(5, 15))).tolist())
-            for _ in range(int(rng.integers(1, 4)))
+            " ".join(para_words[i, p, : para_lens[i, p]])
+            for p in range(n_paras[i])
         ]
-        for _ in range(n_pages)
+        for i in range(n_pages)
     ]
     texts = [t + "\n" + "\n".join(ps) for t, ps in zip(titles, paras)]
     htmls = [
         _render_html(t, ps, ls) for t, ps, ls in zip(titles, paras, link_lists)
     ]
-    warc_ts = [
-        EPOCH + _dt.timedelta(seconds=int(x)) for x in rng.integers(0, 86400 * 365, n_pages)
-    ]
+    ts_off = rng.integers(0, 86400 * 365, n_pages)
+    warc_ts = [EPOCH + _dt.timedelta(seconds=int(x)) for x in ts_off]
     langs = [LANGS[int(x)] for x in rng.integers(0, len(LANGS), n_pages)]
 
     pages = pd.DataFrame(
@@ -185,7 +197,10 @@ def corpus_to_parquet(corpus: dict[str, pd.DataFrame], out_dir: str) -> dict[str
     paths = {}
     for name, df in corpus.items():
         p = os.path.join(out_dir, f"{name}.parquet")
-        df.to_parquet(p, index=False)
+        # Spark cannot read TIMESTAMP(NANOS) parquet — write micros
+        df.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
         paths[name] = p
     return paths
 

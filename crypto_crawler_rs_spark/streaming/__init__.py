@@ -1,0 +1,13 @@
+from .stream import (
+    stream_pages,
+    windowed_page_metrics,
+    streaming_url_dedup,
+    run_streaming_ingest,
+)
+
+__all__ = [
+    "stream_pages",
+    "windowed_page_metrics",
+    "streaming_url_dedup",
+    "run_streaming_ingest",
+]
