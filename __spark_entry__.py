@@ -356,6 +356,72 @@ def q_c14_sorted_params(spark, sf):
     )
 
 
+def q_f4_classify_frames(spark, sf):
+    """F4 message classification: Normal / Ping / Reconnect dispatch
+    per payload (MiscMessage, crypto-ws-client/src/common/
+    message_handler.rs:4-22; binance classifier clients/binance.rs:296-321)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    klass = (
+        F.when(k < 10, "ping")
+        .when(k >= 90, "reconnect")
+        .otherwise("normal")
+    )
+    return e.withColumn("klass", klass).groupBy("event_type", "klass").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_c2_placeholder_sub(spark, sf):
+    """C2 SYMBOL placeholder substitution in channel templates
+    (topic_to_raw_channel, crypto-ws-client/src/common/utils.rs:40-42)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace(
+            F.lit("market.SYMBOL.trade.detail"), F.lit("SYMBOL"), F.col("event_type")
+        ).alias("channel"),
+    )
+
+
+def q_c11_decompress(spark, sf):
+    """C11 payload decompression dispatch (ws_client_internal.rs:629-801).
+    Identity path over uncompressed bytes; gzip/zlib paths are
+    pytest-verified (tests/test_payload_packing_tsv.py)."""
+    from crypto_crawler_rs_spark.functions.payload import decompress_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", decompress_udf(F.col("text").cast("binary")).alias("text_out")
+    )
+
+
+def q_c13_hmac_sign(spark, sf):
+    """C13 HMAC-SHA256 request signing, lowercase hex
+    (crypto-rest-client/src/exchanges/utils.rs:24-68). Rows-only
+    (DuckDB has no hmac); stdlib-parity is pytest-verified."""
+    from crypto_crawler_rs_spark.functions.payload import hmac_sign_udf
+
+    e = _t(spark, sf, "events").limit(500)
+    return e.select("event_id", hmac_sign_udf("test-secret")("props").alias("sig"))
+
+
+def q_o4_pack_commands(spark, sf):
+    """O4 exact greedy bin packing per group via applyInPandas
+    (ensure_frame_size, crypto-ws-client/src/common/utils.rs:3-38).
+    Rows-only (order-dependent greedy state is not ANSI-SQL);
+    budget invariants are pytest-verified."""
+    from crypto_crawler_rs_spark.operators.packing import pack_commands
+
+    li = _t(spark, sf, "lineitem")
+    items = li.select(
+        F.col("l_suppkey").cast("string").alias("host"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey").alias("url"),
+        F.col("l_orderkey").alias("priority"),
+    ).distinct()
+    return pack_commands(items, byte_budget=256, max_items=25)
+
+
 def q_t5_window_budget_pop(spark, sf):
     """T5 per-key budget pop (token-bucket analog): best-2 events per
     user by (value desc, event_id) — the politeness window."""
@@ -521,6 +587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_unix_millis": q_c8_unix_millis,
         "c10_precision_digits": q_c10_precision_digits,
         "c14_sorted_params": q_c14_sorted_params,
+        "c2_placeholder_sub": q_c2_placeholder_sub,
+        "f4_classify_frames": q_f4_classify_frames,
+        "c11_decompress": q_c11_decompress,
+        "c13_hmac_sign": q_c13_hmac_sign,
+        "o4_pack_commands": q_o4_pack_commands,
         "t5_window_budget_pop": q_t5_window_budget_pop,
         "stream_hourly_rollup": q_stream_hourly_rollup,
         "dedup_exact": q_dedup_exact,
@@ -646,6 +717,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS profile
             FROM events GROUP BY user_id""",
+        "f4_classify_frames": """
+            SELECT event_type,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 10 THEN 'ping'
+                        WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 90 THEN 'reconnect'
+                        ELSE 'normal' END AS klass,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "c2_placeholder_sub": """
+            SELECT event_id,
+                   replace('market.SYMBOL.trade.detail', 'SYMBOL', event_type) AS channel
+            FROM events""",
+        "c11_decompress": """
+            SELECT doc_id, text AS text_out FROM documents""",
         "t5_window_budget_pop": """
             SELECT user_id, event_id, rk FROM (
                 SELECT user_id, event_id,

@@ -61,6 +61,7 @@ class FrontierConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
     emit_deferred: bool = True  # log over_budget rows (FIXTURES.md §4)
+    seed_validation: str = "quarantine"  # F2: quarantine | fail | ignore
     cache_pages: bool = True  # cache (url, html) projection (see __init__)
     # below this frontier size the deterministic global rank uses a
     # cheap single-partition window; above it, the scalable two-pass
@@ -154,10 +155,29 @@ class FrontierScheduler:
 
     # -- init / resume --------------------------------------------------
     def init_state(self, seeds: DataFrame) -> dict:
-        """Round-0 state from a seed list (messy urls allowed)."""
+        """Round-0 state from a seed list (messy urls allowed).
+
+        F2 validity check (the reference PANICS on unknown symbols,
+        ``check_args`` crypto-crawler/src/crawlers/utils.rs:56-74):
+        unparseable seeds are routed per ``cfg.seed_validation`` —
+        'quarantine' (default) writes them to a quarantine table,
+        'fail' raises, 'ignore' drops silently.
+        """
+        decorated = seeds.withColumn("_canon", canonicalize_udf(F.col("url")))
+        invalid = decorated.filter(F.col("_canon").isNull()).select("url")
+        qpath = None
+        if self.cfg.seed_validation != "ignore":
+            n_bad = invalid.count()
+            if n_bad:
+                if self.cfg.seed_validation == "fail":
+                    bad = [r["url"] for r in invalid.limit(5).collect()]
+                    raise ValueError(
+                        f"{n_bad} unparseable seed urls (check_args), e.g. {bad}"
+                    )
+                qpath = self.store.write(invalid, 0, "quarantine")
         frontier = (
-            seeds.withColumn("url", canonicalize_udf(F.col("url")))
-            .filter(F.col("url").isNotNull())
+            decorated.filter(F.col("_canon").isNotNull())
+            .select(F.col("_canon").alias("url"), "depth")
             .withColumn("host", host_udf(F.col("url")))
             .groupBy("url", "host")
             .agg(F.min("depth").cast("int").alias("depth"))
@@ -175,11 +195,47 @@ class FrontierScheduler:
             "host_state": hpath,
             "bloom": bpath,
             "seen": [],
+            "tombstones": [],
             "fetched": [],
             "metrics": [],
+            "quarantine": qpath,
         }
         self.store.commit(manifest)
         return manifest
+
+    # -- seen-set maintenance -----------------------------------------
+    def _read_seen(self, manifest: dict) -> DataFrame | None:
+        """Current seen set = union of deltas minus tombstones (U3)."""
+        seen = self.store.read_union(manifest["seen"])
+        tombs = self.store.read_union(manifest.get("tombstones", []))
+        if seen is not None and tombs is not None:
+            seen = seen.join(tombs.select("url"), "url", "left_anti")
+        return seen
+
+    def forget(self, urls: DataFrame, manifest: dict | None = None) -> dict:
+        """Remove URLs from the seen set so they can be re-crawled —
+        the unsubscribe/retain path (U3,
+        crypto-ws-client/src/common/ws_client_internal.rs:313-317).
+
+        Implemented as tombstone deltas: the exact-join read path
+        subtracts them (authoritative), while the non-counting Bloom
+        may still answer maybe-seen — a pure false positive that the
+        exact join clears, so correctness is unaffected (the cuckoo/
+        counting-filter variant in functions/bloom.py reclaims the
+        prune rate when deletions are frequent)."""
+        manifest = manifest or self.store.read_manifest()
+        rnd = manifest["round"]
+        tomb = (
+            urls.withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .select("url")
+            .distinct()
+        )
+        tpath = self.store.write(tomb, rnd, "seen_tombstone")
+        new_manifest = dict(manifest)
+        new_manifest["tombstones"] = manifest.get("tombstones", []) + [tpath]
+        self.store.commit(new_manifest)
+        return new_manifest
 
     # -- one super-step ---------------------------------------------------
     def run_round(self, manifest: dict) -> dict:
@@ -187,7 +243,7 @@ class FrontierScheduler:
         rnd = manifest["round"]
         frontier = self.store.read(manifest["frontier"])
         host_state = self.store.read(manifest["host_state"])
-        seen = self.store.read_union(manifest["seen"])
+        seen = self._read_seen(manifest)
         bloom = ShardedBloom.load(manifest["bloom"])
 
         cand = self._with_path(self._with_policy(frontier)).persist(
@@ -451,12 +507,18 @@ class FrontierScheduler:
         # bounded number of bucketed delta dirs (Iceberg rewrite-
         # data-files analog)
         seen_paths = manifest["seen"] + [seen_path]
+        tomb_paths = manifest.get("tombstones", [])
         if len(seen_paths) >= cfg.compact_seen_every:
-            compact = self.store.read_union(seen_paths).repartition(
+            compact = self.store.read_union(seen_paths)
+            tombs = self.store.read_union(tomb_paths)
+            if tombs is not None:
+                compact = compact.join(tombs.select("url"), "url", "left_anti")
+            compact = compact.repartition(
                 cfg.n_seen_buckets,
                 F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
             )
             seen_paths = [self.store.write(compact, rnd + 1, "seen_compact")]
+            tomb_paths = []  # folded into the compacted snapshot
 
         new_manifest = {
             "round": rnd + 1,
@@ -464,9 +526,11 @@ class FrontierScheduler:
             "host_state": host_state_path,
             "bloom": bloom_path,
             "seen": seen_paths,
+            "tombstones": tomb_paths,
             "fetched": manifest["fetched"] + [fetched_path],
             "metrics": manifest["metrics"] + [metrics_path],
             "frontier_size": n_frontier,
+            "quarantine": manifest.get("quarantine"),
         }
         self.store.commit(new_manifest)
         return new_manifest
@@ -511,7 +575,7 @@ class FrontierScheduler:
 
     def seen(self, manifest: dict | None = None) -> DataFrame | None:
         manifest = manifest or self.store.read_manifest()
-        return self.store.read_union(manifest["seen"])
+        return self._read_seen(manifest)
 
     def metrics(self, manifest: dict | None = None) -> DataFrame | None:
         manifest = manifest or self.store.read_manifest()
