@@ -480,6 +480,30 @@ def q_dedup_simhash(spark, sf):
     return simhash64(_t(spark, sf, "documents"))
 
 
+def q_dedup_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (training-data dedup):
+    all (a < b) pairs with cosine >= 0.3, exact double arithmetic."""
+    emb = _t(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim6", F.round(dot / (na * nb), 6))
+        .filter(F.col("sim6") >= 0.3)
+        .select("id_a", "id_b", "sim6")
+    )
+
+
 def q_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-5 for query vectors vec_id<20."""
     emb = _t(spark, sf, "embeddings")
@@ -598,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "lang_id": q_lang_id,
@@ -758,6 +783,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    ROUND(shared / (n_a + n_b - shared), 4) AS jaccard
             FROM p WHERE shared / (n_a + n_b - shared) >= 0.05""",
+        "dedup_embedding_neardup": """
+            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.ve, b.ve) /
+                         (sqrt(list_dot_product(a.ve, a.ve)) *
+                          sqrt(list_dot_product(b.ve, b.ve))), 6) AS sim6
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.ve, b.ve) /
+                  (sqrt(list_dot_product(a.ve, a.ve)) *
+                   sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3""",
         "ann_cosine_topk": """
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
                        FROM embeddings),

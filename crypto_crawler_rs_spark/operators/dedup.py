@@ -138,8 +138,22 @@ def minhash_lsh_pairs(
     positives, so the returned pairs are exact-threshold correct —
     LSH only bounds recall, never precision.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # shingle once, reuse for both the signature build and the exact
+    # confirmation join (the shingling scan is the expensive part)
+    sh_base = word_shingles(df.select(id_col, text_col), text_col, k).select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("_n"), "shingles"
+    )
+    ex_base = sh_base.select("_id", "_n", F.explode("shingles").alias("_s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}#"), F.col("_s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex_base.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -161,10 +175,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact confirm: jaccard on true shingle sets of candidates only
-    sh = word_shingles(df.select(id_col, text_col), text_col, k).select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_n"), "shingles"
-    )
-    ex = sh.select("_id", "_n", F.explode("shingles").alias("_s"))
+    ex = ex_base
     ja = (
         cand.join(ex.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s"), "id_a")
         .join(ex.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s"), ["id_b", "_s"])
