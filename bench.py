@@ -161,7 +161,7 @@ def run_kernel(spark, n: int = 10_000_000) -> dict:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from crypto_crawler_rs_spark.functions.urls import canonicalize_udf, host_udf
+    from crypto_crawler_rs_spark.functions.urls import canonicalize_udf, host_col
 
     base = spark.range(n)
     h = F.pmod(F.xxhash64("id"), F.lit(5000))
@@ -177,7 +177,7 @@ def run_kernel(spark, n: int = 10_000_000) -> dict:
     )
     cand = (
         raw.select(canonicalize_udf("raw_url").alias("url"))
-        .withColumn("host", host_udf("url"))
+        .withColumn("host", host_col(F.col("url")))
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host_hash", F.hash("host"))
         .withColumn("priority", F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(100000)))
@@ -228,7 +228,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     if args.kernel_only:
+        # align with the engine: fixed-key shuffles, AQE off
         spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         run_kernel(spark, n=1_000_000)  # warm-up: python worker pool
         res = run_kernel(spark, n=20_000_000)
         spark.stop()

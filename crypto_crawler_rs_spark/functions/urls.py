@@ -106,6 +106,15 @@ def host_udf(s: pd.Series) -> pd.Series:
     return s.str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", expand=False).str.lower()
 
 
+def host_col(url_col):
+    """Host of an ALREADY-CANONICAL url — pure JVM expression (the
+    canonicalizer guarantees a lowercase host, so no python stage is
+    needed; whole-stage codegen keeps this in the scan pipeline).
+    Returns NULL for null/unparseable input like :func:`host_udf`."""
+    ex = F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    return F.when(ex == "", None).otherwise(ex)
+
+
 def with_canonical(df, url_col: str = "url", out_col: str = "url"):
     """Add/replace canonical url + host columns on a DataFrame."""
     df = df.withColumn(out_col, canonicalize_udf(F.col(url_col)))

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator: per-host politeness gate.
+
+The reference enforces uplink budgets with a token bucket carried in
+connection state (governor quota,
+crypto-ws-client/src/common/connect_async.rs:72-77) that survives
+across frames of the same connection.  The Structured-Streaming
+analog is ``applyInPandasWithState``: the budget counter is GroupState
+keyed by host, carried across micro-batches and restored from the
+streaming checkpoint on restart.
+
+Each incoming fetch request is admitted while the host's cumulative
+admitted-count is below ``budget``; the rest are emitted as
+``deferred`` (they would re-enter a later window in a full deploy).
+Deterministic: requests are processed in (priority, url) order within
+each batch-group, mirroring the batch pop operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "host string, url string, priority long, admitted boolean, admitted_so_far long"
+STATE_SCHEMA = "admitted long"
+
+
+def budget_gate(requests: DataFrame, budget: int = 5) -> DataFrame:
+    """requests: streaming DF with (host, url, priority).  Returns
+    each request with an ``admitted`` decision; at most ``budget``
+    admissions per host over the stream's lifetime (cumulative state)."""
+
+    def gate(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        admitted = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "url"], kind="mergesort")
+            decisions = []
+            counts = []
+            for _ in range(len(pdf)):
+                ok = admitted < budget
+                if ok:
+                    admitted += 1
+                decisions.append(ok)
+                counts.append(admitted)
+            out = pd.DataFrame(
+                {
+                    "host": host,
+                    "url": pdf["url"].to_numpy(),
+                    "priority": pdf["priority"].to_numpy(),
+                    "admitted": decisions,
+                    "admitted_so_far": counts,
+                }
+            )
+            yield out
+        state.update((admitted,))
+
+    return requests.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
