@@ -422,6 +422,27 @@ def q_o4_pack_commands(spark, sf):
     return pack_commands(items, byte_budget=256, max_items=25)
 
 
+def q_w1_topic_cross_product(spark, sf):
+    """§1.4 work-unit expansion: candlestick topics = symbols ×
+    intervals materialized eagerly (crypto-crawler/src/crawlers/
+    utils.rs:902-911); interval mapping 60→'1m' (C9,
+    clients/binance.rs:273-293)."""
+    e = _t(spark, sf, "events").select("event_type").distinct()
+    intervals = F.array(F.lit(60), F.lit(300), F.lit(900))
+    iname = (
+        F.when(F.col("interval_sec") == 60, "1m")
+        .when(F.col("interval_sec") == 300, "5m")
+        .otherwise("15m")
+    )
+    return (
+        e.select("event_type", F.explode(intervals).alias("interval_sec"))
+        .withColumn(
+            "topic",
+            F.concat_ws("@", F.concat(F.lit("kline_"), iname), F.col("event_type")),
+        )
+    )
+
+
 def q_t5_window_budget_pop(spark, sf):
     """T5 per-key budget pop (token-bucket analog): best-2 events per
     user by (value desc, event_id) — the politeness window."""
@@ -616,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_decompress": q_c11_decompress,
         "c13_hmac_sign": q_c13_hmac_sign,
         "o4_pack_commands": q_o4_pack_commands,
+        "w1_topic_cross_product": q_w1_topic_cross_product,
         "t5_window_budget_pop": q_t5_window_budget_pop,
         "stream_hourly_rollup": q_stream_hourly_rollup,
         "dedup_exact": q_dedup_exact,
@@ -755,6 +777,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "c11_decompress": """
             SELECT doc_id, text AS text_out FROM documents""",
+        "w1_topic_cross_product": """
+            WITH s AS (SELECT DISTINCT event_type FROM events),
+            x AS (SELECT event_type, unnest([60, 300, 900]) AS interval_sec FROM s)
+            SELECT event_type, interval_sec,
+                   concat('kline_',
+                          CASE WHEN interval_sec = 60 THEN '1m'
+                               WHEN interval_sec = 300 THEN '5m'
+                               ELSE '15m' END,
+                          '@', event_type) AS topic
+            FROM x""",
         "t5_window_budget_pop": """
             SELECT user_id, event_id, rk FROM (
                 SELECT user_id, event_id,

@@ -75,6 +75,12 @@ class FrontierConfig:
     # (measured: 2.2x round throughput with it off at local[32]).
     # Re-enable on clusters where join skew is not pre-salted.
     adaptive: bool = False
+    # T4 retry jitter (ws_client_internal.rs:216-252 adds random 1-9s
+    # to 429 backoff).  The reference uses `rand`; determinism demands
+    # a seeded equivalent: jitter = pmod(xxhash64(host, round), mod).
+    # 0 disables (required for oracle-exact runs; the oracle models
+    # no jitter).
+    jitter_mod: int = 0
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -92,7 +98,6 @@ class FrontierScheduler:
     ):
         self.spark = spark
         self.cfg = config or FrontierConfig()
-        spark.conf.set("spark.sql.adaptive.enabled", str(self.cfg.adaptive).lower())
         self.store = StateStore(spark, state_dir)
         # pages.url is canonicalized once up-front so the fetch join
         # key matches engine-canonical candidate urls.
@@ -119,6 +124,22 @@ class FrontierScheduler:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         self.policy = host_policy
+
+    # -- engine-scoped session conf -------------------------------------
+    from contextlib import contextmanager as _ctx
+
+    @_ctx
+    def _engine_conf(self):
+        """Apply the round-loop conf (AQE per FrontierConfig.adaptive)
+        for the duration of an engine operation, then restore — the
+        session is shared with ad-hoc queries that may want AQE."""
+        key = "spark.sql.adaptive.enabled"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, str(self.cfg.adaptive).lower())
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, prev)
 
     # -- candidate decoration -----------------------------------------
     def _with_policy(self, df: DataFrame) -> DataFrame:
@@ -163,6 +184,10 @@ class FrontierScheduler:
 
     # -- init / resume --------------------------------------------------
     def init_state(self, seeds: DataFrame) -> dict:
+        with self._engine_conf():
+            return self._init_state(seeds)
+
+    def _init_state(self, seeds: DataFrame) -> dict:
         """Round-0 state from a seed list (messy urls allowed).
 
         F2 validity check (the reference PANICS on unknown symbols,
@@ -247,6 +272,10 @@ class FrontierScheduler:
 
     # -- one super-step ---------------------------------------------------
     def run_round(self, manifest: dict) -> dict:
+        with self._engine_conf():
+            return self._run_round(manifest)
+
+    def _run_round(self, manifest: dict) -> dict:
         cfg = self.cfg
         rnd = manifest["round"]
         frontier = self.store.read(manifest["frontier"])
@@ -385,7 +414,15 @@ class FrontierScheduler:
                     F.col("any_ok").isNull(), F.coalesce("next_eligible", F.lit(0))
                 )
                 .when(F.col("any_ok"), F.lit(rnd) + F.col("crawl_delay_rounds"))
-                .otherwise(F.lit(rnd) + F.col("backoff")),
+                .otherwise(
+                    F.lit(rnd)
+                    + F.col("backoff")
+                    + (
+                        F.pmod(F.xxhash64(F.col("host"), F.lit(rnd)), F.lit(cfg.jitter_mod))
+                        if cfg.jitter_mod > 0
+                        else F.lit(0)
+                    ).cast("int")
+                ),
             )
             .select("host", "next_eligible", "backoff")
         )
