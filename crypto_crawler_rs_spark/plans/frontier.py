@@ -81,6 +81,10 @@ class FrontierConfig:
     # 0 disables (required for oracle-exact runs; the oracle models
     # no jitter).
     jitter_mod: int = 0
+    # submit independent snapshot writes from concurrent driver
+    # threads (fetched log / host_state / seen delta share only the
+    # persisted fetch result) — overlaps per-round commit latency
+    concurrent_writes: bool = True
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -385,7 +389,7 @@ class FrontierScheduler:
                     F.lit(None).cast("string").alias("text_sha256"),
                 )
             )
-        fetched_path = self.store.write(log.select(*FETCHED_COLS), rnd, "fetched")
+        log = log.select(*FETCHED_COLS)
 
         # host-state fold (A3): success resets backoff, all-fail doubles
         stats = fetched.groupBy("host").agg(
@@ -426,18 +430,34 @@ class FrontierScheduler:
             )
             .select("host", "next_eligible", "backoff")
         )
-        host_state_path = self.store.write(new_state, rnd + 1, "host_state")
-
         # seen append: scheduled (ok+missing) + robots-denied (J1/U2)
         seen_delta = self._seen_delta(
             fetched.select("url", "host").unionByName(denied.select("url", "host")),
             rnd,
+        ).repartition(
+            cfg.n_seen_buckets, F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets))
         )
-        seen_path = self.store.write(
-            seen_delta.repartition(cfg.n_seen_buckets, F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets))),
-            rnd,
-            "seen_delta",
-        )
+
+        # the three snapshot writes only share the persisted `fetched`
+        # parent — submit them concurrently (Spark schedules jobs from
+        # multiple driver threads; the persist is computed once, other
+        # jobs block per-partition until cached).  This overlaps the
+        # serial per-round commit term with itself, the main Amdahl
+        # cost of small rounds.
+        if cfg.concurrent_writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3) as pool:
+                fa = pool.submit(self.store.write, log, rnd, "fetched")
+                fb = pool.submit(self.store.write, new_state, rnd + 1, "host_state")
+                fc = pool.submit(self.store.write, seen_delta, rnd, "seen_delta")
+                fetched_path = fa.result()
+                host_state_path = fb.result()
+                seen_path = fc.result()
+        else:
+            fetched_path = self.store.write(log, rnd, "fetched")
+            host_state_path = self.store.write(new_state, rnd + 1, "host_state")
+            seen_path = self.store.write(seen_delta, rnd, "seen_delta")
         seen_delta = self.store.read(seen_path)
 
         # bloom maintenance.
