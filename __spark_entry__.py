@@ -294,6 +294,18 @@ def q_c4_json_extract(spark, sf):
     )
 
 
+def q_p1_typed_projection(spark, sf):
+    """§3.3 parsed multiplexed stream: the subscribe_symbol path
+    parses payloads into typed records (crypto-crawler/src/crawlers/
+    utils.rs:628-668) — from_json with an EXPLICIT schema (never
+    inferred, §1.6)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+    )
+
+
 def q_c5_explode_split(spark, sf):
     """C5 split-lines explode (deribit 4-line response,
     crawlers/utils.rs:219-231)."""
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_set": q_a4_distinct_set,
         "a5_count_distinct": q_a5_count_distinct,
         "c4_json_extract": q_c4_json_extract,
+        "p1_typed_projection": q_p1_typed_projection,
         "c5_explode_split": q_c5_explode_split,
         "c6_split_first": q_c6_split_first,
         "c7_concat_tsv": q_c7_concat_tsv,
@@ -741,6 +754,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type""",
+        "p1_typed_projection": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+            FROM events""",
         "c5_explode_split": """
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -1,4 +1,37 @@
 from .rank import global_rank
 from .pop import pop_per_host
+from .packing import pack_commands
+from .dedup import (
+    exact_dedup,
+    word_shingles,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from .similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    lsh_bucket_signatures,
+    with_unit_vectors,
+)
+from .multimodal import extract_media_features, gen_media_fixture, sniff_format
 
-__all__ = ["global_rank", "pop_per_host"]
+__all__ = [
+    "global_rank",
+    "pop_per_host",
+    "pack_commands",
+    "exact_dedup",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "lsh_bucket_signatures",
+    "with_unit_vectors",
+    "extract_media_features",
+    "gen_media_fixture",
+    "sniff_format",
+]

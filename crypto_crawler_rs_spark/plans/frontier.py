@@ -109,6 +109,14 @@ class FrontierScheduler:
         # (url, html) at scan time; bucketing pages by url would make
         # the fetch join shuffle-free on a cluster.
         self.pages = pages.withColumn("url", canonicalize_udf(F.col("url")))
+        if "warc_ts" in pages.columns:
+            # Common-Crawl corpora carry re-crawls of the same url; a
+            # fetch join against duplicates would duplicate scheduled
+            # rows (and ranks).  Keep the latest capture per canonical
+            # url, ties broken on content hash for determinism.
+            self.pages = self.pages.groupBy("url").agg(
+                F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias("html")
+            )
         if self.cfg.cache_pages:
             # cache the (url, html) fetch projection so the
             # canonicalize UDF runs once, not once per round-job, and
