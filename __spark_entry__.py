@@ -13,8 +13,19 @@ order with an explicit tie-break.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# python workers spawned by any SparkSession (including the driver
+# harness's own) must be able to import crypto_crawler_rs_spark when
+# unpickling the pandas UDFs used by several queries
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _pp + (os.pathsep if _pp else "") + _REPO
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,7 +34,36 @@ from pyspark.sql import Window
 SF0001 = "/root/testdata/sf0.001"
 
 
+_PKG_ZIP: str | None = None
+_SHIPPED_TO: set[str] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package zip to this session's python workers
+    (equivalent of `spark-submit --py-files`); idempotent per session."""
+    global _PKG_ZIP
+    sid = spark.sparkContext.applicationId
+    if sid in _SHIPPED_TO:
+        return
+    if _PKG_ZIP is None:
+        import shutil
+
+        base = tempfile.mkdtemp(prefix="ccrs_pkg_")
+        _PKG_ZIP = shutil.make_archive(
+            os.path.join(base, "crypto_crawler_rs_spark"),
+            "zip",
+            root_dir=_REPO,
+            base_dir="crypto_crawler_rs_spark",
+        )
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already registered under this name
+    _SHIPPED_TO.add(sid)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -38,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
     crawl log (round, rank_in_round, url, status, ...)."""
     import pandas as pd
 
+    _ensure_workers_can_import(spark)
     from crypto_crawler_rs_spark.plans.frontier import (
         FrontierConfig,
         FrontierScheduler,
