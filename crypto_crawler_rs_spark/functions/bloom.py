@@ -140,6 +140,40 @@ class ShardedBloom:
         return obj
 
 
+def build_shard_bitmaps(df, n_shards: int, bits_per_shard: int, n_hashes: int):
+    """Distributed bloom build: group (host_hash, url_hash) rows by
+    shard, build each shard's bitmap executor-side (applyInPandas),
+    return (shard, bits) rows.  The driver then ORs at most
+    ``n_shards`` fixed-size bitmaps — collect volume is INDEPENDENT
+    of the row count, which is what makes cross-round bloom
+    maintenance viable at 10^10 URLs (vs collecting raw hashes).
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql import functions as F
+
+    def per_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b = ShardedBloom(1, bits_per_shard, n_hashes)
+        # bit positions depend only on url_hash; shard index forced 0
+        b.add(np.zeros(len(pdf), dtype=np.int64), pdf["url_hash"].to_numpy())
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [b._arr.tobytes()]}
+        )
+
+    return (
+        df.withColumn("shard", F.pmod(F.col("host_hash"), F.lit(n_shards)))
+        .groupBy("shard")
+        .applyInPandas(per_shard, schema="shard int, bits binary")
+    )
+
+
+def merge_shard_bitmaps(bloom: ShardedBloom, rows) -> None:
+    """OR executor-built shard bitmaps into the filter (driver-side,
+    bounded work)."""
+    for r in rows:
+        arr = np.frombuffer(r["bits"], dtype=np.uint8)
+        np.bitwise_or(bloom._arr[r["shard"]], arr, out=bloom._arr[r["shard"]])
+
+
 def bloom_probe_udf(spark, bloom: ShardedBloom):
     """Build an Arrow-batched probe UDF over a broadcast of the
     filter bits.  Returns a (host_hash, url_hash) -> bool pandas UDF."""

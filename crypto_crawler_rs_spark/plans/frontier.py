@@ -85,6 +85,10 @@ class FrontierConfig:
     # threads (fetched log / host_state / seen delta share only the
     # persisted fetch result) — overlaps per-round commit latency
     concurrent_writes: bool = True
+    # above this frontier size the round's bloom update is built
+    # executor-side (shard bitmaps ORed on the driver) instead of
+    # collecting raw hashes — see functions/bloom.build_shard_bitmaps
+    distributed_bloom_threshold: int = 1_000_000
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -468,13 +472,25 @@ class FrontierScheduler:
             seen_path = self.store.write(seen_delta, rnd, "seen_delta")
         seen_delta = self.store.read(seen_path)
 
-        # bloom maintenance.
-        # scale: at cluster scale this becomes a distributed bitmap-OR
-        # (per-partition bloom build via applyInPandas, reduced on the
-        # driver per shard); the round delta here is budget-bounded so
-        # a direct collect of (host_hash, url_hash) stays small.
-        delta_pd = seen_delta.select("host_hash", "url_hash").toPandas()
-        bloom.add(delta_pd["host_hash"].to_numpy(), delta_pd["url_hash"].to_numpy())
+        # bloom maintenance: small deltas collect raw hashes (cheap,
+        # one job); big deltas build shard bitmaps executor-side and
+        # the driver ORs at most n_shards fixed-size arrays — collect
+        # volume independent of row count (the 10^10-scale path).
+        if (
+            manifest.get("frontier_size", 0) >= cfg.distributed_bloom_threshold
+        ):
+            from ..functions.bloom import build_shard_bitmaps, merge_shard_bitmaps
+
+            rows = build_shard_bitmaps(
+                seen_delta.select("host_hash", "url_hash"),
+                cfg.n_seen_buckets,
+                cfg.bloom_bits_per_shard,
+                cfg.bloom_hashes,
+            ).collect()
+            merge_shard_bitmaps(bloom, rows)
+        else:
+            delta_pd = seen_delta.select("host_hash", "url_hash").toPandas()
+            bloom.add(delta_pd["host_hash"].to_numpy(), delta_pd["url_hash"].to_numpy())
         bloom_path = self.store.round_dir(rnd + 1, "bloom")
         bloom.save(bloom_path)
 

@@ -114,3 +114,29 @@ def test_crawl_delay_spacing(spark, tmp_path):
     fetched = eng.fetched(m).toPandas()
     ok_rounds = sorted(fetched[fetched.status == "ok"]["round"].unique())
     assert ok_rounds == [0, 3, 6]  # budget 2/visit, delay 3 -> 3 visits
+
+
+def test_distributed_bloom_build_equivalent(spark):
+    """Executor-side shard-bitmap build must produce a filter
+    bit-identical to the driver-side add over the same rows."""
+    import numpy as np
+
+    from crypto_crawler_rs_spark.functions.bloom import (
+        ShardedBloom,
+        build_shard_bitmaps,
+        merge_shard_bitmaps,
+    )
+
+    rng = np.random.default_rng(9)
+    hh = rng.integers(-(2**31), 2**31, 20000)
+    uh = rng.integers(-(2**63), 2**63 - 1, 20000)
+    driver_b = ShardedBloom(n_shards=8, bits_per_shard=1 << 14, n_hashes=4)
+    driver_b.add(hh, uh)
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(hh, uh)], "host_hash int, url_hash long"
+    )
+    dist_b = ShardedBloom(n_shards=8, bits_per_shard=1 << 14, n_hashes=4)
+    rows = build_shard_bitmaps(df, 8, 1 << 14, 4).collect()
+    merge_shard_bitmaps(dist_b, rows)
+    assert np.array_equal(driver_b._arr, dist_b._arr)
