@@ -58,7 +58,11 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     paras = s.str.findall(_PARA_RE)
     joined = paras.map(lambda ps: "\n".join(ps) if isinstance(ps, list) else None)
     out = title.fillna("")
-    has_paras = joined.notna() & (joined != "")
+    # a lone EMPTY <p></p> still counts as a paragraph (it contributes
+    # a separator in the oracle's "\n".join) — so paragraph presence
+    # is the match-list length, never joined-string non-emptiness
+    has_paras = paras.map(lambda ps: isinstance(ps, list) and len(ps) > 0)
+    has_paras = pd.Series(has_paras, index=s.index, dtype="bool")
     out = out.where(~has_paras, out + "\n" + joined.fillna(""))
     # no-title rows must not gain a leading separator
     out = out.where(~(title.isna() & has_paras), joined.fillna(""))

@@ -28,9 +28,16 @@ def global_rank(
     order_cols: list[str],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Attach a 1-based dense global row number ordered by
-    ``order_cols`` (must be a total order)."""
+    ``order_cols`` (must be a total order).
+
+    ``cleanup``: optional list the persisted intermediate and the
+    offsets broadcast are appended to; the CALLER must dispose them
+    (``.unpersist()``) after materializing the result — otherwise
+    long-running round loops accumulate cached partitions/broadcasts
+    on executors (they hold until GC)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -54,6 +61,9 @@ def global_rank(
         offsets[pid] = acc
         acc += by_pid[pid]
     bc = spark.sparkContext.broadcast(offsets)
+    if cleanup is not None:
+        cleanup.append(part)
+        cleanup.append(bc)
 
     out_schema = StructType(part.schema.fields + [StructField(out_col, LongType(), False)])
 

@@ -89,6 +89,14 @@ class FrontierConfig:
     # executor-side (shard bitmaps ORed on the driver) instead of
     # collecting raw hashes — see functions/bloom.build_shard_bitmaps
     distributed_bloom_threshold: int = 1_000_000
+    # discovery-probe strategy: 'broadcast' ships the whole filter to
+    # every executor (fine to tens of MB), 'sharded' repartitions the
+    # links by pmod(host_hash, n_shards) and each task mmap-loads only
+    # its partition's shard bitmaps (the 10^10-URL path — a useful
+    # filter there is ~10-15 GB, far beyond broadcast). 'auto' picks
+    # by filter size.
+    bloom_probe_mode: str = "auto"  # auto | broadcast | sharded
+    bloom_broadcast_max_bytes: int = 64 << 20
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -253,12 +261,30 @@ class FrontierScheduler:
         return manifest
 
     # -- seen-set maintenance -----------------------------------------
+    @staticmethod
+    def _apply_tombstones(seen: DataFrame, tombs: DataFrame) -> DataFrame:
+        """Subtract tombstoned urls, ROUND-SCOPED: a tombstone written
+        at round R only cancels seen rows with added_round <= R, so a
+        later re-crawl's fresh seen entry survives (the url is seen
+        again, not perpetually re-fetched)."""
+        from pyspark.sql import functions as F
+
+        t = tombs.groupBy("url").agg(F.max("tomb_round").alias("_tomb_round"))
+        return (
+            seen.join(F.broadcast(t), "url", "left")
+            .filter(
+                F.col("_tomb_round").isNull()
+                | (F.col("added_round") > F.col("_tomb_round"))
+            )
+            .drop("_tomb_round")
+        )
+
     def _read_seen(self, manifest: dict) -> DataFrame | None:
         """Current seen set = union of deltas minus tombstones (U3)."""
         seen = self.store.read_union(manifest["seen"])
         tombs = self.store.read_union(manifest.get("tombstones", []))
         if seen is not None and tombs is not None:
-            seen = seen.join(tombs.select("url"), "url", "left_anti")
+            seen = self._apply_tombstones(seen, tombs)
         return seen
 
     def forget(self, urls: DataFrame, manifest: dict | None = None) -> dict:
@@ -279,6 +305,10 @@ class FrontierScheduler:
             .filter(F.col("url").isNotNull())
             .select("url")
             .distinct()
+            # round scoping: this tombstone only cancels seen rows
+            # added at or before the current round — a post-forget
+            # re-crawl re-enters the seen set normally
+            .withColumn("tomb_round", F.lit(rnd).cast("int"))
         )
         tpath = self.store.write(tomb, rnd, "seen_tombstone")
         new_manifest = dict(manifest)
@@ -294,6 +324,11 @@ class FrontierScheduler:
     def _run_round(self, manifest: dict) -> dict:
         cfg = self.cfg
         rnd = manifest["round"]
+        # per-round resources (persisted intermediates, broadcasts)
+        # disposed at round end — a 64+-round crawl must not
+        # accumulate them on executors (they would evict the pages
+        # cache)
+        round_cleanup: list = []
         frontier = self.store.read(manifest["frontier"])
         host_state = self.store.read(manifest["host_state"])
         seen = self._read_seen(manifest)
@@ -343,7 +378,12 @@ class FrontierScheduler:
                 "rank_in_round", F.row_number().over(w).cast("long")
             )
         else:
-            ranked = global_rank(sched_slim, ["priority", "url"], out_col="rank_in_round")
+            ranked = global_rank(
+                sched_slim,
+                ["priority", "url"],
+                out_col="rank_in_round",
+                cleanup=round_cleanup,
+            )
 
         # fetch join + byte-identical extract (S2/J7/C11)
         fetched = (
@@ -513,7 +553,24 @@ class FrontierScheduler:
         # bloom prefilter: probe==False is DEFINITELY unseen (skips the
         # exact join); probe==True goes to the exact anti-join which
         # kills false positives — correctness never depends on bloom.
-        probe = bloom_probe_udf(self.spark, bloom)
+        use_sharded = cfg.bloom_probe_mode == "sharded" or (
+            cfg.bloom_probe_mode == "auto"
+            and bloom._arr.nbytes > cfg.bloom_broadcast_max_bytes
+        )
+        if use_sharded:
+            # partition-aligned probe: co-locate links with their seen
+            # bucket, each task mmap-reads only its shards' bitmaps
+            # from the just-saved snapshot (bit-identical to broadcast;
+            # tests/test_scale_paths.py pins it)
+            from ..functions.bloom import sharded_probe_col
+
+            probe = sharded_probe_col(bloom_path, cfg.n_seen_buckets)
+            links = links.repartition(
+                cfg.n_seen_buckets,
+                F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+            )
+        else:
+            probe = bloom_probe_udf(self.spark, bloom, cleanup=round_cleanup)
         links = links.withColumn(
             "maybe_seen", probe(F.col("host_hash"), F.col("url_hash"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -591,6 +648,11 @@ class FrontierScheduler:
         n_frontier = self.store.read(frontier_path).count()
         for df in (cand, popped, fetched, links):
             df.unpersist()
+        for res in round_cleanup:
+            if isinstance(res, DataFrame):
+                res.unpersist()
+            else:  # Broadcast — round-scoped, never referenced again
+                res.destroy()
 
         # periodic seen compaction: keep the anti-join reading a
         # bounded number of bucketed delta dirs (Iceberg rewrite-
@@ -601,7 +663,7 @@ class FrontierScheduler:
             compact = self.store.read_union(seen_paths)
             tombs = self.store.read_union(tomb_paths)
             if tombs is not None:
-                compact = compact.join(tombs.select("url"), "url", "left_anti")
+                compact = self._apply_tombstones(compact, tombs)
             compact = compact.repartition(
                 cfg.n_seen_buckets,
                 F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),

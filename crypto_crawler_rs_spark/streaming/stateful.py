@@ -39,7 +39,13 @@ def budget_gate(requests: DataFrame, budget: int = 5) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         admitted = state.get[0] if state.exists else 0
-        for pdf in pdfs:
+        # a group larger than arrow maxRecordsPerBatch arrives as
+        # MULTIPLE chunks — concatenate before sorting so admissions
+        # follow the global (priority, url) order within the group,
+        # matching the batch pop operator (operators/pop.py)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["priority", "url"], kind="mergesort")
             decisions = []
             counts = []
