@@ -451,11 +451,15 @@ def q_c11_decompress(spark, sf):
 
 def q_c13_hmac_sign(spark, sf):
     """C13 HMAC-SHA256 request signing, lowercase hex
-    (crypto-rest-client/src/exchanges/utils.rs:24-68). Rows-only
-    (DuckDB has no hmac); stdlib-parity is pytest-verified."""
+    (crypto-rest-client/src/exchanges/utils.rs:24-68).  DuckDB has no
+    hmac, so the oracle is a plain projection of a COMMITTED fixture
+    (fixtures/hmac_expected_sf0.01.parquet) precomputed by python
+    stdlib hmac over the same events rows (tools/gen_hmac_fixture.py)
+    — an independent implementation, not Spark output.  Deterministic
+    row subset: event_id % 20 == 0."""
     from crypto_crawler_rs_spark.functions.payload import hmac_sign_udf
 
-    e = _t(spark, sf, "events").limit(500)
+    e = _t(spark, sf, "events").filter(F.col("event_id") % 20 == 0)
     return e.select("event_id", hmac_sign_udf("test-secret")("props").alias("sig"))
 
 
@@ -473,6 +477,86 @@ def q_o4_pack_commands(spark, sf):
         F.col("l_orderkey").alias("priority"),
     ).distinct()
     return pack_commands(items, byte_budget=256, max_items=25)
+
+
+def q_c12_protobuf_roundtrip(spark, sf):
+    """C12 protobuf frame decode (varint tag walk): frames encoded
+    from events fields decode back to the originals — identity-
+    comparable oracle.  Golden byte vectors + mixed gzip/zlib/
+    protobuf dispatch are pytest-verified (reference:
+    ws_client_internal.rs:643-797, clients/mexc/protobuf.rs:7-60)."""
+    from crypto_crawler_rs_spark.functions.payload import pb_decode_udf, pb_encode_udf
+
+    e = _t(spark, sf, "events")
+    enc = pb_encode_udf(
+        F.col("event_type"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string")),
+        F.col("event_id"),
+        F.col("props"),
+    )
+    dec = pb_decode_udf(enc)
+    return e.select(
+        "event_id",
+        dec.getField("channel").alias("channel"),
+        dec.getField("symbol").alias("symbol"),
+        dec.getField("ts").alias("ts"),
+        dec.getField("body").alias("body"),
+    )
+
+
+def q_c3_json_command(spark, sf):
+    """C3 structured command rendering via to_json(struct(...)) —
+    the reference builds JSON subscribe commands from typed parts
+    (clients/binance.rs:260-270,379-409); golden command strings are
+    pytest-pinned.  DuckDB to_json(struct_pack(...)) is the oracle."""
+    e = _t(spark, sf, "events").select("event_type").distinct()
+    cmd = F.to_json(
+        F.struct(
+            F.lit("SUBSCRIBE").alias("method"),
+            F.array(F.concat(F.lower("event_type"), F.lit("@depth"))).alias("params"),
+            F.lit(1).cast("long").alias("id"),
+        )
+    )
+    return e.select("event_type", cmd.alias("command"))
+
+
+def q_m1_msgtype_command_map(spark, sf):
+    """Msg-type -> raw-channel mapping as a BROADCAST dimension table
+    (crypto-msg-type/src/lib.rs:55-77; per-exchange catalog
+    exchanges/binance.rs:5-15) instead of an inline CASE: events get
+    a cycling msg_type, the dim join renders the channel."""
+    mapping = spark.createDataFrame(
+        _MSGTYPE_CHANNELS, "msg_type string, raw_channel string"
+    )
+    e = _t(spark, sf, "events")
+    msg_type = F.element_at(
+        F.array(*[F.lit(m) for m, _ in _MSGTYPE_CHANNELS]),
+        (F.col("event_id") % 6 + 1).cast("int"),
+    )
+    return (
+        e.withColumn("msg_type", msg_type)
+        .join(F.broadcast(mapping), "msg_type")
+        .select(
+            "event_id",
+            "msg_type",
+            F.concat(F.lower("event_type"), F.lit("@"), F.col("raw_channel")).alias(
+                "channel"
+            ),
+        )
+    )
+
+
+# the reference's msg-type -> raw-channel translation catalog
+# (crypto-msg-type/src/lib.rs:55-77 shape; binance channel names,
+# exchanges/binance.rs:5-15)
+_MSGTYPE_CHANNELS = [
+    ("trade", "trade"),
+    ("l2_event", "depth@100ms"),
+    ("l2_topk", "depth5"),
+    ("bbo", "bookTicker"),
+    ("ticker", "ticker"),
+    ("candlestick", "kline_1m"),
+]
 
 
 def q_w1_topic_cross_product(spark, sf):
@@ -520,6 +604,101 @@ def q_stream_hourly_rollup(spark, sf):
     )
 
 
+def q_frontier_round0(spark, sf):
+    """THE ENGINE SPINE as one oracle-checkable query (VERDICT r1
+    next-1): seeds+policy -> C1 canonicalize -> robots prefix filter
+    (J4) -> eligibility (T1) -> per-host budget pop (T5, the REAL
+    operators/pop.py) -> global (priority, url) rank (O1).  Inputs
+    derive deterministically from ``documents``; semantics mirror
+    plans/frontier.py round 0 (reference: crawlers/utils.rs:106-203).
+
+    scale: the single-partition rank window here only ever sees the
+    POPPED set (<= sum of per-host budgets — the per-round command
+    quota, small by construction); the engine swaps in the two-pass
+    range-partitioned rank above small_rank_threshold.
+    """
+    from crypto_crawler_rs_spark.functions.urls import canonicalize_udf, host_col
+    from crypto_crawler_rs_spark.operators.pop import pop_per_host
+
+    d = _t(spark, sf, "documents")
+    seeds = d.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("raw_url"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+    )
+    cand = seeds.withColumn("url", canonicalize_udf(F.col("raw_url"))).withColumn(
+        "host", host_col(F.col("url"))
+    )
+    n = F.regexp_extract("host", r"src(\d+)", 1).cast("int")
+    cand = (
+        cand.withColumn("host_rank", ((n % 7) * 10).cast("long"))
+        .withColumn("budget_per_round", (F.lit(2) + n % 3).cast("int"))
+        .withColumn("priority", (F.col("depth") + F.col("host_rank")).cast("long"))
+        .withColumn(
+            "path", F.regexp_replace("url", r"^[a-z][a-z0-9+.-]*://[^/]+", "")
+        )
+    )
+    # robots: even-numbered hosts disallow the '/doc/1' path prefix
+    allowed = cand.filter(~((n % 2 == 0) & F.col("path").startswith("/doc/1")))
+    # eligibility: every 5th host is in backoff at round 0 (T1)
+    eligible = allowed.filter(n % 5 != 0).withColumn("is_hot", F.lit(False))
+    popped = pop_per_host(
+        eligible.select(
+            "url", "host", "depth", "priority", "budget_per_round", "is_hot"
+        )
+    )
+    sched = popped.filter(F.col("scheduled")).select("url", "host", "depth", "priority")
+    w = Window.orderBy("priority", "url")
+    return sched.withColumn("rank_in_round", F.row_number().over(w).cast("long"))
+
+
+def q_c1_canonicalize(spark, sf):
+    """C1/C14 URL canonicalization under the DuckDB oracle: messy URLs
+    built deterministically from ``events`` run through the engine's
+    canonicalize_udf — lowercase scheme+host, strip default ports +
+    fragments, sort query params, empty path -> '/'
+    (crypto-rest-client/src/exchanges/utils.rs:71-94,
+    crypto-ws-client/src/clients/binance.rs:263)."""
+    from crypto_crawler_rs_spark.functions.urls import canonicalize_udf
+
+    e = _t(spark, sf, "events")
+    u = F.col("user_id") % 7
+    i = F.col("event_id")
+    raw = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.EXample"), u.cast("string"), F.lit(".COM:443/Path/"),
+                i.cast("string"), F.lit("?b=2&a=1&a=0#frag"),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("http://Example"), u.cast("string"), F.lit(".com:8080/p/"),
+                i.cast("string"),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(F.lit("HTTP://EXAMPLE"), u.cast("string"), F.lit(".COM")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), u.cast("string"), F.lit(".com/ok/"),
+                i.cast("string"), F.lit("?z=9#x"),
+            )
+        )
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw_url"),
+        canonicalize_udf(raw).alias("canon_url"),
+    )
+
+
 # -- training-data pipeline operators ---------------------------------------
 
 def q_dedup_exact(spark, sf):
@@ -530,33 +709,68 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """n-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    """n-gram Jaccard near-dup pairs (inverted-index self-join) with
+    the document-frequency cap LIVE (df_cap=100, mirrored in the
+    oracle): one stopword-like shingle at web scale makes the join
+    quadratic on a single key — the cap bounds per-key fanout at
+    cap² while dropping only non-discriminative shingles."""
     from crypto_crawler_rs_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.05)
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.05, df_cap=100
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup (banded) with exact-Jaccard confirm.
-    No SQL oracle (xxhash64 family not in DuckDB) -> rows-only check;
-    correctness vs exact jaccard is pytest-verified."""
+    md5 hash family -> the DuckDB oracle replays the IDENTICAL
+    minhashes, band signatures and candidate set (VERDICT r1 next-2);
+    production default stays xxhash64 (8-byte shuffle keys)."""
     from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), k=3, n_hashes=32, n_bands=16, threshold=0.05
+        _t(spark, sf, "documents"), k=3, n_hashes=32, n_bands=16, threshold=0.05,
+        hash_family="md5",
     )
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash fingerprints (JVM-side bit sums). Rows-only check."""
-    from crypto_crawler_rs_spark.operators.dedup import simhash64
+    """SimHash fingerprints (JVM-side bit sums), md5 family / 60 bits
+    so the DuckDB oracle reproduces them bit-for-bit (stays positive
+    in a signed BIGINT on both engines)."""
+    from crypto_crawler_rs_spark.operators.dedup import simhash_fingerprints
 
-    return simhash64(_t(spark, sf, "documents"))
+    return simhash_fingerprints(
+        _t(spark, sf, "documents"), hash_family="md5", n_bits=60
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup PAIRING (VERDICT r1 missing-6): band the
+    fingerprint into max_hamming+1 bit slices, join on slices
+    (pigeonhole => 100% recall), confirm with bit_count(x^y).
+    Oracle = exact all-pairs hamming, so this also PROVES the banded
+    join is exact."""
+    from crypto_crawler_rs_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    fp = simhash_fingerprints(
+        _t(spark, sf, "documents"), hash_family="md5", n_bits=60
+    )
+    return simhash_pairs(fp, max_hamming=3, n_bits=60).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 def q_dedup_embedding_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs (training-data dedup):
-    all (a < b) pairs with cosine >= 0.3, exact double arithmetic."""
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine >= 0.3, exact double arithmetic.  ORACLE-ONLY path: this
+    is the exactness twin of ann_cosine_lsh — deliberately quadratic;
+    broadcast the left side so the plan is a BroadcastNestedLoopJoin
+    streaming the corpus once (no corpus shuffle, no CartesianProduct
+    exchange), and NEVER run it as the production dedup at scale."""
     emb = _t(spark, sf, "embeddings")
     v = emb.select(
         "vec_id",
@@ -570,7 +784,8 @@ def q_dedup_embedding_neardup(spark, sf):
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.crossJoin(b)
+        F.broadcast(a)
+        .crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim6", F.round(dot / (na * nb), 6))
         .filter(F.col("sim6") >= 0.3)
@@ -611,13 +826,15 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_cosine_lsh(spark, sf):
-    """LSH-bucketed ANN (scale path). Rows-only check; recall vs
-    brute force is pytest-checked."""
+    """LSH-bucketed ANN (scale path).  md5-derived hyperplanes -> the
+    DuckDB oracle replays the identical buckets, candidate set and
+    exact-cosine re-rank; recall vs brute force is pytest-checked."""
     from crypto_crawler_rs_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf, "embeddings")
     return cosine_topk_lsh(
-        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_planes=6, n_tables=8
+        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_planes=6, n_tables=8,
+        hash_family="md5",
     )
 
 
@@ -694,10 +911,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topic_cross_product": q_w1_topic_cross_product,
         "t5_window_budget_pop": q_t5_window_budget_pop,
         "stream_hourly_rollup": q_stream_hourly_rollup,
+        "frontier_round0": q_frontier_round0,
+        "c1_canonicalize": q_c1_canonicalize,
+        "c12_protobuf_roundtrip": q_c12_protobuf_roundtrip,
+        "c3_json_command": q_c3_json_command,
+        "m1_msgtype_command_map": q_m1_msgtype_command_map,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -708,6 +931,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sql_simhash_fp_cte() -> str:
+    """md5-family 60-bit SimHash fingerprint CTE chain (ends in
+    ``fp(doc_id, simhash)``), replaying operators/dedup.py
+    simhash_fingerprints(hash_family='md5', n_bits=60) digit-for-digit:
+    bit b of md5(token)'s 15-hex-digit value lives in digit
+    15 - b//4 at in-digit shift b%4."""
+    digit_cols = ",\n                   ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) AS d{j}"
+        for j in range(1, 16)
+    )
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (d{15 - (b // 4)} // {1 << (b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    fp = "\n                 + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+            hx AS (SELECT doc_id, md5(t) AS h FROM tok),
+            dg AS (SELECT doc_id,
+                   {digit_cols}
+                   FROM hx),
+            sums AS (SELECT doc_id,
+                   {sums}
+                   FROM dg GROUP BY doc_id),
+            fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)"""
+
+
+def _sql_minhash_lsh(n_hashes: int = 32, n_bands: int = 16, threshold: float = 0.05) -> str:
+    """Full DuckDB replay of minhash_lsh_pairs(hash_family='md5'):
+    identical minhashes (min over md5('mh{i}#'||shingle), fixed-width
+    hex so string-min == numeric-min), identical band signatures,
+    identical candidate set, exact-Jaccard confirm."""
+    rows = n_hashes // n_bands
+    hcols = ",\n                        ".join(
+        f"min(md5('mh{i}#' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS sig FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([array_to_string(ws[i:i+2], ' ')
+                                         for i in range(1, len(ws) - 1)]) AS shingles
+                   FROM w WHERE len(ws) >= 3),
+            e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+            sig AS (SELECT doc_id, {hcols}
+                    FROM e GROUP BY doc_id),
+            banded AS ({band_rows}),
+            cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM banded x JOIN banded y
+                       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                         COUNT(*) AS shared
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, ROUND(shared / (n_a + n_b - shared), 4) AS jaccard
+            FROM p WHERE shared / (n_a + n_b - shared) >= {threshold}"""
+
+
+def _sql_ann_lsh(dim: int = 64, k: int = 5, n_planes: int = 6, n_tables: int = 8) -> str:
+    """DuckDB replay of cosine_topk_lsh(hash_family='md5'): identical
+    hyperplane weights (13-hex-digit md5 value, exact in a double),
+    identical left-fold projection order (list_sum over ORDER BY dim),
+    identical unit-vector cosine re-rank."""
+    # weight = (sum_j digit_j * 16^(13-j)) / 2^51 - 1, constants as
+    # exact integer literals (no runtime POWER() rounding concerns)
+    terms = "\n                      + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) * {16 ** (13 - j)}.0"
+        for j in range(1, 14)
+    )
+    return f"""
+            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
+                       FROM embeddings),
+            u AS (SELECT vec_id,
+                         [x / sqrt(list_dot_product(ve, ve)) for x in ve] AS uv
+                  FROM v),
+            el AS (SELECT vec_id, i.range AS d, ve[i.range + 1] AS e
+                   FROM v, range({dim}) i),
+            planes AS (SELECT t.range AS tbl, p.range AS plane, d.range AS dim,
+                              md5('plane:' || t.range || ':' || p.range || ':' || d.range) AS h
+                       FROM range({n_tables}) t, range({n_planes}) p, range({dim}) d),
+            pw AS (SELECT tbl, plane, dim,
+                      ({terms}) / {2 ** 51}.0 - 1.0 AS w
+                   FROM planes),
+            proj AS (SELECT e.vec_id, pl.tbl, pl.plane,
+                            list_sum(list(e.e * pl.w ORDER BY pl.dim)) AS proj
+                     FROM el e JOIN pw pl ON e.d = pl.dim
+                     GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, tbl,
+                          string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+                                     '' ORDER BY plane) AS bucket
+                   FROM proj GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                     FROM bk q JOIN bk c
+                       ON q.tbl = c.tbl AND q.bucket = c.bucket
+                      AND q.vec_id <> c.vec_id
+                     WHERE q.vec_id < 20),
+            scored AS (SELECT cand.query_id, cand.neighbor_id,
+                              list_dot_product(q.uv, c.uv) AS sim
+                       FROM cand
+                       JOIN u q ON q.vec_id = cand.query_id
+                       JOIN u c ON c.vec_id = cand.neighbor_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rk
+            FROM r WHERE rk <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     en = "['the','and','of','to','in','is','that','for']"
     de = "['der','die','das','und','ist','nicht','ein','zu']"
@@ -716,8 +1055,10 @@ def oracle_sql() -> dict[str, str]:
     pt = "['o','a','os','que','de','um','uma','para']"
 
     def hits(markers: str) -> str:
+        # \s+ regex split matches the engine's tokens() exactly —
+        # consecutive spaces / tabs / newlines collapse on BOTH sides
         return (
-            "len(list_intersect(list_distinct(string_split(trim(text), ' ')), "
+            r"len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')), "
             f"{markers}))"
         )
 
@@ -855,6 +1196,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 3) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "frontier_round0": """
+            WITH s AS (
+                SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       source || '.example.org' AS host,
+                       CAST(doc_id % 4 AS INT) AS depth,
+                       doc_id
+                FROM documents),
+            p AS (
+                SELECT *,
+                       CAST(regexp_extract(host, 'src([0-9]+)', 1) AS INT) AS n,
+                       '/doc/' || CAST(doc_id AS VARCHAR) AS path
+                FROM s),
+            d AS (
+                SELECT url, host, depth,
+                       CAST(depth + (n % 7) * 10 AS BIGINT) AS priority,
+                       2 + n % 3 AS budget_per_round, n, path
+                FROM p),
+            allowed AS (
+                SELECT * FROM d WHERE NOT (n % 2 = 0 AND path LIKE '/doc/1%')),
+            eligible AS (SELECT * FROM allowed WHERE n % 5 <> 0),
+            popped AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                          ORDER BY priority, url) AS rn
+                FROM eligible)
+            SELECT url, host, depth, priority,
+                   CAST(ROW_NUMBER() OVER (ORDER BY priority, url) AS BIGINT)
+                       AS rank_in_round
+            FROM popped WHERE rn <= budget_per_round""",
+        "c1_canonicalize": """
+            WITH r AS (
+                SELECT event_id,
+                    CASE CAST(event_id % 4 AS INT)
+                        WHEN 0 THEN 'HTTPS://WWW.EXample' || CAST(user_id % 7 AS VARCHAR)
+                             || '.COM:443/Path/' || CAST(event_id AS VARCHAR) || '?b=2&a=1&a=0#frag'
+                        WHEN 1 THEN 'http://Example' || CAST(user_id % 7 AS VARCHAR)
+                             || '.com:8080/p/' || CAST(event_id AS VARCHAR)
+                        WHEN 2 THEN 'HTTP://EXAMPLE' || CAST(user_id % 7 AS VARCHAR) || '.COM'
+                        ELSE 'https://example' || CAST(user_id % 7 AS VARCHAR)
+                             || '.com/ok/' || CAST(event_id AS VARCHAR) || '?z=9#x'
+                    END AS raw_url
+                FROM events),
+            parts AS (
+                SELECT event_id, raw_url,
+                    lower(COALESCE(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+                    lower(COALESCE(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1), '')) AS host,
+                    COALESCE(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1), '') AS port,
+                    COALESCE(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), '') AS path,
+                    COALESCE(regexp_extract(raw_url, '\\?([^#]*)', 1), '') AS query
+                FROM r)
+            SELECT event_id, raw_url,
+                scheme || '://' || host ||
+                CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                          AND NOT (scheme = 'http' AND port = '80')
+                     THEN ':' || port ELSE '' END ||
+                CASE WHEN path = '' THEN '/' ELSE path END ||
+                CASE WHEN query <> '' THEN '?' ||
+                     array_to_string(list_sort(string_split(query, '&')), '&')
+                     ELSE '' END AS canon_url
+            FROM parts""",
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count
@@ -865,7 +1265,11 @@ def oracle_sql() -> dict[str, str]:
                           list_distinct([array_to_string(ws[i:i+2], ' ')
                                          for i in range(1, len(ws) - 1)]) AS shingles
                    FROM w WHERE len(ws) >= 3),
-            e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+            e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            keep AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 100),
+            e1 AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
+            nn AS (SELECT doc_id, COUNT(*) AS n FROM e1 GROUP BY doc_id),
+            e AS (SELECT e1.doc_id, nn.n, e1.s FROM e1 JOIN nn USING (doc_id)),
             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
                          COUNT(*) AS shared
                   FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -873,6 +1277,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    ROUND(shared / (n_a + n_b - shared), 4) AS jaccard
             FROM p WHERE shared / (n_a + n_b - shared) >= 0.05""",
+        "c12_protobuf_roundtrip": """
+            SELECT event_id, event_type AS channel,
+                   'U' || CAST(user_id AS VARCHAR) AS symbol,
+                   event_id AS ts, props AS body
+            FROM events""",
+        "c3_json_command": """
+            SELECT event_type,
+                   to_json(struct_pack(method := 'SUBSCRIBE',
+                                       params := [lower(event_type) || '@depth'],
+                                       id := CAST(1 AS BIGINT))) AS command
+            FROM (SELECT DISTINCT event_type FROM events)""",
+        "m1_msgtype_command_map": """
+            WITH m(msg_type, raw_channel) AS (VALUES
+                ('trade', 'trade'), ('l2_event', 'depth@100ms'),
+                ('l2_topk', 'depth5'), ('bbo', 'bookTicker'),
+                ('ticker', 'ticker'), ('candlestick', 'kline_1m')),
+            e AS (SELECT event_id, event_type,
+                    CASE CAST(event_id % 6 AS INT)
+                         WHEN 0 THEN 'trade' WHEN 1 THEN 'l2_event'
+                         WHEN 2 THEN 'l2_topk' WHEN 3 THEN 'bbo'
+                         WHEN 4 THEN 'ticker' ELSE 'candlestick' END AS msg_type
+                  FROM events)
+            SELECT e.event_id, e.msg_type,
+                   lower(e.event_type) || '@' || m.raw_channel AS channel
+            FROM e JOIN m USING (msg_type)""",
+        "dedup_minhash_lsh": _sql_minhash_lsh(n_hashes=32, n_bands=16, threshold=0.05),
+        "dedup_simhash": f"""
+            WITH {_sql_simhash_fp_cte()}
+            SELECT doc_id, simhash FROM fp""",
+        "dedup_simhash_pairs": f"""
+            WITH {_sql_simhash_fp_cte()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "ann_cosine_lsh": _sql_ann_lsh(dim=64, k=5, n_planes=6, n_tables=8),
+        "c13_hmac_sign": """
+            SELECT e.event_id, x.sig
+            FROM events e
+            JOIN read_parquet('/root/repo/fixtures/hmac_expected_sf0.01.parquet') x
+              ON e.event_id = x.event_id
+            WHERE e.event_id % 20 = 0""",
+        "o4_pack_commands": """
+            WITH RECURSIVE items AS (
+                SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS host,
+                       concat_ws('-', l_orderkey, l_linenumber, l_partkey) AS url,
+                       l_orderkey AS priority
+                FROM lineitem),
+            ord AS (
+                SELECT host, url, priority,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY priority, url) AS rn,
+                       length(url) + 3 AS cost
+                FROM items),
+            rec AS (
+                SELECT host, url, priority, rn, cost,
+                       0 AS bin_id, 0 AS bin_pos, cost AS used
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.host, o.url, o.priority, o.rn, o.cost,
+                       CASE WHEN r.used + o.cost > 256 OR r.bin_pos + 1 >= 25
+                            THEN r.bin_id + 1 ELSE r.bin_id END,
+                       CASE WHEN r.used + o.cost > 256 OR r.bin_pos + 1 >= 25
+                            THEN 0 ELSE r.bin_pos + 1 END,
+                       CASE WHEN r.used + o.cost > 256 OR r.bin_pos + 1 >= 25
+                            THEN o.cost ELSE r.used + o.cost END
+                FROM rec r JOIN ord o ON o.host = r.host AND o.rn = r.rn + 1)
+            SELECT host, url, priority, bin_id, bin_pos FROM rec""",
         "dedup_embedding_neardup": """
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
                        FROM embeddings)
@@ -909,7 +1381,7 @@ def oracle_sql() -> dict[str, str]:
                    h_en AS en_hits
             FROM m""",
         "quality_score": f"""
-            WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+            WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws,
                               length(text) AS n_chars
                        FROM documents)
             SELECT doc_id,
@@ -921,9 +1393,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(len(list_intersect(list_distinct(ws), {en})) /
                          GREATEST(len(ws), 1), 4) AS stopword_ratio
             FROM t""",
-        "token_count": """
+        "token_count": r"""
             SELECT doc_id,
-                   len(string_split(trim(text), ' ')) AS n_ws_tokens,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                    x -> x <> '')) AS n_bpe_tokens
             FROM documents""",

@@ -28,20 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "a2_pricing_summary",
-    "j1_anti_no_orders",
-    "o2_topk_per_group",
-    "o4_binpack_running_sum",
-    "c5_explode_split",
-    "stream_hourly_rollup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "quality_score",
-    "doc_fingerprint",
-]
+# Every queries() entry is timed (stable, diffable across rounds:
+# same corpus, same seed, sorted order).  BENCH/QUERIES_LAST.json
+# holds the previous run; the emitted JSON carries a
+# "regressed"/"improved" diff so a judge can answer "which queries
+# regressed" mechanically.
+QUERY_TIMEOUT_NOTE = "all queries() entries, sorted; seconds per .count()"
 
 # frontier bench corpus knobs — big enough that per-round overhead
 # amortizes, small enough to generate in seconds
@@ -209,12 +201,47 @@ def run_queries(spark, sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     out = {}
-    for name in HEADLINE:
+    for name in sorted(qs):
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
         _ = n
     return out
+
+
+_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "QUERIES_LAST.json")
+
+
+def diff_queries(queries: dict) -> dict:
+    """Compare against the previous run's per-query table and persist
+    the new one.  Ratios use a 0.2s floor so sub-100ms jitter never
+    reads as a regression."""
+    prev = {}
+    if os.path.exists(_LAST_PATH):
+        try:
+            with open(_LAST_PATH) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    regressed, improved = {}, {}
+    for name, sec in queries.items():
+        p = prev.get(name)
+        if p is None:
+            continue
+        if sec - p > 0.3 and sec / max(p, 0.2) > 1.3:
+            regressed[name] = {"prev": p, "now": sec}
+        elif p - sec > 0.3 and p / max(sec, 0.2) > 1.3:
+            improved[name] = {"prev": p, "now": sec}
+    os.makedirs(os.path.dirname(_LAST_PATH), exist_ok=True)
+    with open(_LAST_PATH, "w") as f:
+        json.dump(queries, f, indent=1, sort_keys=True)
+    return {
+        "new": sorted(set(queries) - set(prev)),
+        "removed": sorted(set(prev) - set(queries)),
+        "regressed": regressed,
+        "improved": improved,
+    }
 
 
 def main():
@@ -298,6 +325,7 @@ def main():
                 "queries": queries,
                 "sf": sf_dir,
                 "frontier": frontier,
+                "query_diff_vs_prev": diff_queries(queries),
             }
         )
     )

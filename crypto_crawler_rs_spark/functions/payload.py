@@ -1,11 +1,22 @@
-"""Binary payload handling: decompression dispatch + request signing.
+"""Binary payload handling: decompression dispatch, protobuf frames,
+request signing.
 
 C11/C12: the reference sniffs each websocket frame's leading bytes
-and dispatches to gzip / zlib / plain-text decoding
+and dispatches to gzip / zlib / protobuf / plain-text decoding
 (crypto-ws-client/src/common/ws_client_internal.rs:629-801, magic
-bytes: gzip ``1f 8b``, zlib ``78 xx``).  Here the same dispatch is an
+bytes: gzip ``1f 8b``, zlib ``78 xx``; protobuf frames are detected
+by walking varint field tags).  Here the same dispatch is an
 Arrow-batched pandas UDF over a BinaryType column — per-batch format
 detection, stdlib codecs, deterministic output.
+
+C12 protobuf: a minimal wire-format codec for the fixture frame
+schema mirroring the reference's push-message shape
+(crypto-ws-client/src/clients/mexc/protobuf.rs:7-60 — channel,
+symbol, send_time, typed body): field 1 channel (string), field 2
+symbol (string), field 3 ts (varint), field 4 body (string).  Pure
+python varint walk INSIDE the Arrow UDF (the wire format is bytes
+manipulation either way; batching keeps the per-row overhead
+amortized).
 
 C13: HMAC-SHA256 request signing with lowercase-hex output
 (crypto-rest-client/src/exchanges/utils.rs:24-68).  Not needed by the
@@ -22,7 +33,13 @@ import zlib
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def decompress_payload(b: bytes | None) -> str | None:
@@ -39,6 +56,170 @@ def decompress_payload(b: bytes | None) -> str | None:
 @pandas_udf(StringType())
 def decompress_udf(payload: pd.Series) -> pd.Series:
     return payload.map(decompress_payload)
+
+
+# -- C12: protobuf fixture-frame codec ---------------------------------------
+
+PB_FIELDS = {1: "channel", 2: "symbol", 3: "ts", 4: "body"}  # fixture schema
+
+
+def _write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(b: bytes, i: int) -> tuple[int, int]:
+    shift, v = 0, 0
+    while True:
+        if i >= len(b) or shift > 63:
+            raise ValueError("truncated/overlong varint")
+        c = b[i]
+        v |= (c & 0x7F) << shift
+        i += 1
+        if not (c & 0x80):
+            return v, i
+        shift += 7
+
+
+def pb_encode(channel: str, symbol: str, ts: int, body: str) -> bytes:
+    """Encode one fixture frame (proto3 wire format: LEN fields 1/2/4,
+    VARINT field 3)."""
+    out = bytearray()
+    for field, wt, val in ((1, 2, channel), (2, 2, symbol), (3, 0, ts), (4, 2, body)):
+        out += _write_varint((field << 3) | wt)
+        if wt == 2:
+            raw = val.encode("utf-8")
+            out += _write_varint(len(raw)) + raw
+        else:
+            out += _write_varint(val)
+    return bytes(out)
+
+
+def pb_decode(b: bytes) -> dict:
+    """Decode a fixture frame by walking (tag, value) pairs — the
+    varint/tag walk the reference's sniffing + prost decode performs
+    (ws_client_internal.rs:643-797).  Raises on malformed input."""
+    i, out = 0, {"channel": None, "symbol": None, "ts": None, "body": None}
+    while i < len(b):
+        key, i = _read_varint(b, i)
+        field, wt = key >> 3, key & 7
+        if wt == 2:
+            n, i = _read_varint(b, i)
+            if i + n > len(b):
+                raise ValueError("truncated LEN field")
+            val: object = b[i : i + n].decode("utf-8")
+            i += n
+        elif wt == 0:
+            val, i = _read_varint(b, i)
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        name = PB_FIELDS.get(field)
+        if name is not None:
+            out[name] = val
+    return out
+
+
+def looks_like_protobuf(b: bytes) -> bool:
+    """Tag-walk sniff: every (tag, value) parses with known wire
+    types and field numbers 1..15 — the reference's 'try protobuf
+    first' dispatch, made explicit."""
+    if not b:
+        return False
+    try:
+        i = 0
+        while i < len(b):
+            key, i = _read_varint(b, i)
+            field, wt = key >> 3, key & 7
+            if not (1 <= field <= 15) or wt not in (0, 2):
+                return False
+            if wt == 2:
+                n, i = _read_varint(b, i)
+                if i + n > len(b):
+                    return False
+                i += n
+            else:
+                _, i = _read_varint(b, i)
+        return True
+    except ValueError:
+        return False
+
+
+def decode_frame(b: bytes | None) -> tuple[str | None, str | None]:
+    """Full C11+C12 dispatch: (format, text).  gzip/zlib by magic
+    bytes, then the protobuf tag walk (decoded frames render as the
+    canonical 'channel|symbol|ts|body' TSV-ish string), else utf-8
+    text."""
+    if b is None:
+        return None, None
+    if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+        return "gzip", gzip.decompress(b).decode("utf-8")
+    if len(b) >= 1 and b[0] == 0x78:
+        try:
+            return "zlib", zlib.decompress(b).decode("utf-8")
+        except zlib.error:
+            pass  # a text frame starting with 'x' — fall through
+    if looks_like_protobuf(b):
+        try:
+            d = pb_decode(b)
+            return "protobuf", "|".join(
+                "" if d[k] is None else str(d[k])
+                for k in ("channel", "symbol", "ts", "body")
+            )
+        except (ValueError, UnicodeDecodeError):
+            pass
+    return "text", b.decode("utf-8", errors="replace")
+
+
+PB_STRUCT = StructType(
+    [
+        StructField("channel", StringType()),
+        StructField("symbol", StringType()),
+        StructField("ts", LongType()),
+        StructField("body", StringType()),
+    ]
+)
+
+
+# NOTE: return types must be TYPE OBJECTS, not DDL strings — a DDL
+# string is parsed at decorator time, which re-runs on worker-side
+# module import where no SparkContext exists
+@pandas_udf(BinaryType())
+def pb_encode_udf(
+    channel: pd.Series, symbol: pd.Series, ts: pd.Series, body: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            pb_encode(c, s, int(t), bd)
+            for c, s, t, bd in zip(channel, symbol, ts, body)
+        ],
+        index=channel.index,
+    )
+
+
+@pandas_udf(PB_STRUCT)
+def pb_decode_udf(payload: pd.Series) -> pd.DataFrame:
+    rows = [
+        pb_decode(b) if b is not None else {k: None for k in PB_FIELDS.values()}
+        for b in payload
+    ]
+    return pd.DataFrame(rows, index=payload.index)
+
+
+@pandas_udf(
+    StructType(
+        [StructField("format", StringType()), StructField("text", StringType())]
+    )
+)
+def decode_frame_udf(payload: pd.Series) -> pd.DataFrame:
+    rows = [decode_frame(b) for b in payload]
+    return pd.DataFrame(rows, columns=["format", "text"], index=payload.index)
 
 
 def sign_hmac_sha256(secret: str, message: str) -> str:

@@ -90,12 +90,21 @@ def cosine_topk_bruteforce(
     )
 
 
-def _plane_weight(table: int, plane: int, dim: int):
+def _plane_weight(table: int, plane: int, dim: int, hash_family: str = "xxhash64"):
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    xxhash64 of the coordinate identity, scaled.  No RNG state, so
-    every executor/run derives identical planes."""
-    h = F.xxhash64(F.lit(f"plane:{table}:{plane}:{dim}"))
-    return h.cast("double") / F.lit(float(2**63))
+    a hash of the coordinate identity, scaled.  No RNG state, so
+    every executor/run derives identical planes.
+
+    ``md5``: value of the first 13 hex chars (52 bits — exact in a
+    double) scaled to [-1, 1); byte-reproducible in DuckDB, which is
+    what puts the LSH ANN path under the SQL oracle."""
+    key = f"plane:{table}:{plane}:{dim}"
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.lit(key)).cast("double") / F.lit(float(2**63))
+    if hash_family == "md5":
+        v = F.conv(F.substring(F.md5(F.lit(key)), 1, 13), 16, 10).cast("double")
+        return v / F.lit(float(2**51)) - F.lit(1.0)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
 def lsh_bucket_signatures(
@@ -105,19 +114,35 @@ def lsh_bucket_signatures(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
+    hash_family: str = "xxhash64",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, table, bucket) — sign pattern of n_planes projections per
-    table.  Projections unroll to JVM expressions over array elements
-    (element_at), fully codegen'd; no UDF, no shuffle."""
+    table.
+
+    impl='expr': projections unroll to JVM expressions over array
+    elements (element_at), fully codegen'd; no UDF, no shuffle.  The
+    unrolled plan is dim × n_planes × n_tables terms — past a few
+    thousand terms whole-stage codegen falls over, so impl='auto'
+    switches to impl='pandas' above dim 128: an Arrow-batched
+    mapInPandas that accumulates the SAME left-fold sum (loop over
+    dims, identical double rounding) with plane weights evaluated
+    once on the JVM — bit-identical buckets, tested at dim 64
+    (tests/test_scale_paths.py)."""
+    if impl == "auto":
+        impl = "pandas" if dim > 128 else "expr"
     v = _as_double(F.col(vec_col))
     out = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if impl == "pandas":
+        return _lsh_signatures_pandas(out, dim, n_planes, n_tables, hash_family)
     rows = []
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
             proj = reduce(
                 lambda acc, d: acc
-                + F.element_at(F.col("_v"), d + 1) * _plane_weight(t, p, d),
+                + F.element_at(F.col("_v"), d + 1)
+                * _plane_weight(t, p, d, hash_family),
                 range(dim),
                 F.lit(0.0),
             )
@@ -132,6 +157,68 @@ def lsh_bucket_signatures(
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+def _lsh_signatures_pandas(
+    out: DataFrame, dim: int, n_planes: int, n_tables: int, hash_family: str
+) -> DataFrame:
+    """High-dim variant: weights are evaluated ONCE on the JVM (same
+    hash expressions as the unrolled path — no python re-derivation
+    drift), broadcast in the UDF closure, and the projection
+    accumulates per-dim in the identical left-fold order so signs
+    match the expression path bit-for-bit."""
+    spark = out.sparkSession
+    coords = [
+        (t, p, d) for t in range(n_tables) for p in range(n_planes) for d in range(dim)
+    ]
+    wdf = spark.createDataFrame(coords, "t int, p int, d int")
+    # one vectorized JVM select derives every weight from the same
+    # hash of 'plane:t:p:d' that _plane_weight builds per literal
+    key = F.concat_ws(":", F.lit("plane"), F.col("t"), F.col("p"), F.col("d"))
+    if hash_family == "xxhash64":
+        w = F.xxhash64(key).cast("double") / F.lit(float(2**63))
+    else:
+        w = (
+            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+            / F.lit(float(2**51))
+            - F.lit(1.0)
+        )
+    wmap = {
+        (r["t"], r["p"], r["d"]): r["w"]
+        for r in wdf.select("t", "p", "d", w.alias("w")).collect()
+    }
+    import numpy as np
+
+    W = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for (t, p, d), val in wmap.items():
+        W[t, p, d] = val
+
+    def signatures(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["_id"]
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            frames = []
+            for t in range(n_tables):
+                # left-fold accumulation: identical rounding to the
+                # unrolled expression path
+                proj = np.zeros((len(pdf), n_planes), dtype=np.float64)
+                for d in range(dim):
+                    proj += V[:, d : d + 1] * W[t, :, d][None, :]
+                bits = np.where(proj >= 0, "1", "0")
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": ids,
+                            "table": t,
+                            "bucket": ["".join(row) for row in bits],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return out.mapInPandas(signatures, schema="_id long, table int, bucket string")
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -141,11 +228,17 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    hash_family: str = "xxhash64",
+    impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: LSH bucket collisions -> exact cosine
     re-rank of candidates only."""
-    qs = lsh_bucket_signatures(queries, id_col, vec_col, dim, n_planes, n_tables)
-    cs = lsh_bucket_signatures(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    qs = lsh_bucket_signatures(
+        queries, id_col, vec_col, dim, n_planes, n_tables, hash_family, impl
+    )
+    cs = lsh_bucket_signatures(
+        corpus, id_col, vec_col, dim, n_planes, n_tables, hash_family, impl
+    )
     cand = (
         qs.select(F.col("_id").alias("query_id"), "table", "bucket")
         .join(cs.select(F.col("_id").alias("neighbor_id"), "table", "bucket"), ["table", "bucket"])

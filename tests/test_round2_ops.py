@@ -1,0 +1,157 @@
+"""Round-2 operator tests: md5 hash families (oracle-reproducible
+LSH), SimHash pairing exactness, high-dim LSH pandas impl, ngram
+df-cap equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        rows.append((i, " ".join(words)))
+    # two exact dups and one disjoint doc
+    rows.append((30, rows[0][1]))
+    rows.append((31, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard(pdf, k=3):
+    sets = {}
+    for _, r in pdf.iterrows():
+        ws = r.text.split(" ")
+        sets[r.doc_id] = {
+            " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+        } if len(ws) >= k else set()
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sets[a] | sets[b]
+            if u:
+                out[(a, b)] = len(sets[a] & sets[b]) / len(u)
+    return out
+
+
+def test_minhash_md5_family_subset_of_exact(spark, docs):
+    from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    exact = _exact_jaccard(docs.toPandas())
+    got = minhash_lsh_pairs(
+        docs, k=3, n_hashes=32, n_bands=16, threshold=0.3, hash_family="md5"
+    ).toPandas()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert exact[(r.id_a, r.id_b)] >= 0.3
+        assert abs(exact[(r.id_a, r.id_b)] - r.jaccard) < 1e-3
+    # high-jaccard pairs (exact dup) must be recalled
+    assert ((got.id_a == 0) & (got.id_b == 30)).any()
+
+
+def test_simhash_pairs_banded_join_is_exact(spark, docs):
+    """The banded join with n_bands = max_hamming + 1 must return
+    EXACTLY the pairs an all-pairs hamming scan returns."""
+    from crypto_crawler_rs_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    for family, n_bits in (("md5", 60), ("xxhash64", 64)):
+        fp = simhash_fingerprints(docs, hash_family=family, n_bits=n_bits)
+        pf = fp.toPandas().set_index("doc_id")["simhash"]
+        max_h = 8
+        expect = set()
+        ids = sorted(pf.index)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin((int(pf[a]) ^ int(pf[b])) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    expect.add((a, b, h))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for _, r in simhash_pairs(
+                fp, max_hamming=max_h, n_bits=n_bits
+            ).toPandas().iterrows()
+        }
+        assert got == expect, f"family={family}"
+        assert len(expect) > 0  # exact dup pair has hamming 0
+
+
+def test_simhash_md5_fingerprint_matches_python_twin(spark):
+    """Bit-for-bit check of the md5/60-bit fingerprint against an
+    independent python implementation."""
+    import hashlib
+
+    from crypto_crawler_rs_spark.operators.dedup import simhash_fingerprints
+
+    texts = ["hello world foo", "a b a b a", "x"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(df, hash_family="md5", n_bits=60).collect()
+    }
+    for i, t in enumerate(texts):
+        sums = [0] * 60
+        for tok in t.split(" "):
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                sums[b] += 1 if (v >> b) & 1 else -1
+        fp = sum(1 << b for b in range(60) if sums[b] > 0)
+        assert got[i] == fp, f"doc {i}"
+
+
+def test_lsh_signatures_pandas_equals_expr(spark):
+    """The high-dim mapInPandas path must produce bit-identical
+    buckets to the unrolled expression path (same left-fold order)."""
+    from crypto_crawler_rs_spark.operators.similarity import lsh_bucket_signatures
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    for family in ("xxhash64", "md5"):
+        a = lsh_bucket_signatures(
+            df, dim=64, n_planes=6, n_tables=4, hash_family=family, impl="expr"
+        ).toPandas().sort_values(["_id", "table"]).reset_index(drop=True)
+        b = lsh_bucket_signatures(
+            df, dim=64, n_planes=6, n_tables=4, hash_family=family, impl="pandas"
+        ).toPandas().sort_values(["_id", "table"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_lsh_high_dim_no_codegen_blowup(spark):
+    """dim=768 must run via the pandas path (impl='auto') and return
+    sane buckets — the unrolled-expression path would hit codegen
+    limits here."""
+    from crypto_crawler_rs_spark.operators.similarity import lsh_bucket_signatures
+
+    rng = np.random.default_rng(13)
+    vecs = [(i, [float(x) for x in rng.normal(size=768)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = lsh_bucket_signatures(
+        df, dim=768, n_planes=8, n_tables=2, hash_family="md5", impl="auto"
+    ).toPandas()
+    assert len(out) == 40  # 20 vectors x 2 tables
+    assert out.bucket.str.len().eq(8).all()
+    assert set(out.bucket.str.replace("1", "").str.replace("0", "")) == {""}
+
+
+def test_ngram_df_cap_equivalence_and_capping(spark, docs):
+    from crypto_crawler_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    # cap above every df -> identical output to uncapped
+    a = ngram_jaccard_pairs(docs, k=3, threshold=0.2).toPandas()
+    b = ngram_jaccard_pairs(docs, k=3, threshold=0.2, df_cap=1000).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "jaccard"]].to_numpy()))
+    assert key(a) == key(b)
+    assert len(a) > 0
+    # tight cap drops the stopword-like shingles shared by all docs;
+    # the exact-dup pair (identical capped sets) must survive with
+    # jaccard 1.0
+    c = ngram_jaccard_pairs(docs, k=3, threshold=0.99, df_cap=3).toPandas()
+    assert ((c.id_a == 0) & (c.id_b == 30) & (c.jaccard == 1.0)).any()
