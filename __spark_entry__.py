@@ -766,31 +766,13 @@ def q_dedup_simhash_pairs(spark, sf):
 
 def q_dedup_embedding_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    cosine >= 0.3, exact double arithmetic.  ORACLE-ONLY path: this
-    is the exactness twin of ann_cosine_lsh — deliberately quadratic;
-    broadcast the left side so the plan is a BroadcastNestedLoopJoin
-    streaming the corpus once (no corpus shuffle, no CartesianProduct
-    exchange), and NEVER run it as the production dedup at scale."""
-    emb = _t(spark, sf, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim6", F.round(dot / (na * nb), 6))
-        .filter(F.col("sim6") >= 0.3)
-        .select("id_a", "id_b", "sim6")
-    )
+    round(cosine, 6) >= 0.3.  ORACLE-ONLY exactness twin of
+    ann_cosine_lsh — deliberately quadratic, never the production
+    dedup at scale; the Arrow matmul keeps the corpus streaming once
+    with identical fold rounding (operators/similarity.py)."""
+    from crypto_crawler_rs_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
 def q_ann_cosine_topk(spark, sf):

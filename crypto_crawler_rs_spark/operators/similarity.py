@@ -90,6 +90,72 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with round(cosine, 6) >= threshold —
+    the EXACT oracle twin of the LSH path (deliberately quadratic;
+    never the production op at scale).
+
+    Instead of a crossJoin of array columns (25M interpreted
+    zip_with/aggregate folds at sf0.1 — measured 35s), the comparison
+    side rides the closure as a float64 matrix and an Arrow-batched
+    mapInPandas computes dot products with per-dim left-fold
+    accumulation — the IDENTICAL floating-point rounding as SQL
+    list_dot_product, so value-hash parity with the DuckDB oracle is
+    preserved.  The final round/threshold runs JVM-side (F.round) to
+    keep rounding semantics byte-equal to the previous plan.
+    """
+    import numpy as np
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    rows = src.collect()  # the broadcast side IS the table: oracle-only op
+    A_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    A = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = A.shape[1] if len(A) else 0
+    # norms via the same left fold as sqrt(list_dot_product(v, v))
+    na = np.zeros(len(A), dtype=np.float64)
+    for d in range(dim):
+        na += A[:, d] * A[:, d]
+    na = np.sqrt(na)
+    # rounding to 6 decimals can lift a sim by < 5e-7, never more
+    loose = threshold - 1e-6
+
+    def pairs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            B = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            dots = np.zeros((len(A), len(B)), dtype=np.float64)
+            for d in range(dim):
+                dots += A[:, d : d + 1] * B[:, d][None, :]
+            nb = np.zeros(len(B), dtype=np.float64)
+            for d in range(dim):
+                nb += B[:, d] * B[:, d]
+            nb = np.sqrt(nb)
+            sim = dots / (na[:, None] * nb[None, :])
+            ia, ib = np.nonzero((A_ids[:, None] < B_ids[None, :]) & (sim >= loose))
+            yield pd.DataFrame(
+                {"id_a": A_ids[ia], "id_b": B_ids[ib], "sim": sim[ia, ib]}
+            )
+
+    out = src.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
+    return (
+        out.withColumn("sim6", F.round("sim", 6))
+        .filter(F.col("sim6") >= threshold)
+        .select("id_a", "id_b", "sim6")
+    )
+
+
 def _plane_weight(table: int, plane: int, dim: int, hash_family: str = "xxhash64"):
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     a hash of the coordinate identity, scaled.  No RNG state, so
@@ -130,19 +196,27 @@ def lsh_bucket_signatures(
     once on the JVM — bit-identical buckets, tested at dim 64
     (tests/test_scale_paths.py)."""
     if impl == "auto":
-        impl = "pandas" if dim > 128 else "expr"
+        # the unrolled path emits dim×planes (×tables branches) terms;
+        # past ~1k total terms janino compile time dominates the query
+        # (measured: 44s vs 4s at dim 64 × 6 planes × 8 tables), and
+        # past a few thousand codegen fails outright — the Arrow path
+        # is bit-identical (tests pin it), so prefer it early
+        impl = "pandas" if dim > 128 or dim * n_planes * n_tables > 1024 else "expr"
     v = _as_double(F.col(vec_col))
     out = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    W = _plane_weights(df.sparkSession, dim, n_planes, n_tables, hash_family)
     if impl == "pandas":
-        return _lsh_signatures_pandas(out, dim, n_planes, n_tables, hash_family)
+        return _lsh_signatures_pandas(out, dim, n_planes, n_tables, W)
     rows = []
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
+            # weights are pre-evaluated doubles inlined as literals:
+            # hashing 'plane:t:p:d' per ROW would put dim×planes×tables
+            # hash calls in the scan (measured 97s vs 3s at sf0.1)
             proj = reduce(
                 lambda acc, d: acc
-                + F.element_at(F.col("_v"), d + 1)
-                * _plane_weight(t, p, d, hash_family),
+                + F.element_at(F.col("_v"), d + 1) * F.lit(float(W[t, p, d])),
                 range(dim),
                 F.lit(0.0),
             )
@@ -157,39 +231,41 @@ def lsh_bucket_signatures(
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
-def _lsh_signatures_pandas(
-    out: DataFrame, dim: int, n_planes: int, n_tables: int, hash_family: str
-) -> DataFrame:
-    """High-dim variant: weights are evaluated ONCE on the JVM (same
-    hash expressions as the unrolled path — no python re-derivation
-    drift), broadcast in the UDF closure, and the projection
-    accumulates per-dim in the identical left-fold order so signs
-    match the expression path bit-for-bit."""
-    spark = out.sparkSession
+def _plane_weights(spark, dim: int, n_planes: int, n_tables: int, hash_family: str):
+    """Evaluate every hyperplane weight ONCE on the JVM — the same
+    hash expressions :func:`_plane_weight` builds per literal, so no
+    python re-derivation drift — and return a (tables, planes, dim)
+    float64 matrix.  Doubles roundtrip exactly through py4j/lit."""
+    import numpy as np
+
     coords = [
         (t, p, d) for t in range(n_tables) for p in range(n_planes) for d in range(dim)
     ]
     wdf = spark.createDataFrame(coords, "t int, p int, d int")
-    # one vectorized JVM select derives every weight from the same
-    # hash of 'plane:t:p:d' that _plane_weight builds per literal
     key = F.concat_ws(":", F.lit("plane"), F.col("t"), F.col("p"), F.col("d"))
     if hash_family == "xxhash64":
         w = F.xxhash64(key).cast("double") / F.lit(float(2**63))
-    else:
+    elif hash_family == "md5":
         w = (
             F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
             / F.lit(float(2**51))
             - F.lit(1.0)
         )
-    wmap = {
-        (r["t"], r["p"], r["d"]): r["w"]
-        for r in wdf.select("t", "p", "d", w.alias("w")).collect()
-    }
-    import numpy as np
-
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     W = np.empty((n_tables, n_planes, dim), dtype=np.float64)
-    for (t, p, d), val in wmap.items():
-        W[t, p, d] = val
+    for r in wdf.select("t", "p", "d", w.alias("w")).collect():
+        W[r["t"], r["p"], r["d"]] = r["w"]
+    return W
+
+
+def _lsh_signatures_pandas(
+    out: DataFrame, dim: int, n_planes: int, n_tables: int, W
+) -> DataFrame:
+    """High-dim variant: Arrow-batched mapInPandas accumulating the
+    projection per-dim in the identical left-fold order, so signs
+    match the expression path bit-for-bit."""
+    import numpy as np
 
     def signatures(batches):
         import pandas as pd
