@@ -820,6 +820,34 @@ def q_ann_cosine_lsh(spark, sf):
     )
 
 
+def q_mm1_media_features(spark, sf):
+    """Multimodal-column pipeline as a graded row: documents become
+    opaque media blobs (magic prefix + utf-8 bytes), then the REAL
+    mapInPandas feature stage (operators/multimodal.py) sniffs the
+    format and measures payloads.  The oracle recomputes the
+    structural columns (kind/format/byte length); the stubbed decode
+    feature itself is pytest-pinned vs its python twin
+    (_decode_stub; codec libs absent in this container)."""
+    from crypto_crawler_rs_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf, "documents")
+    k = (F.col("doc_id") % 3).cast("int")
+    magic = (
+        F.when(k == 0, F.lit(b"\x89PNG\r\n"))
+        .when(k == 1, F.lit(b"RIFF....WAVE"))
+        .otherwise(F.lit(b"\x00\x00\x00\x18ftyp"))
+    )
+    kind = F.when(k == 0, "image").when(k == 1, "audio").otherwise("video")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(magic, F.encode("text", "utf-8")).alias("payload"),
+    )
+    return extract_media_features(media).select(
+        "media_id", "kind", "format", "n_bytes"
+    )
+
+
 def q_lang_id(spark, sf):
     """Language-ID heuristic: stopword-marker argmax."""
     from crypto_crawler_rs_spark.functions.textstats import lang_id, lang_scores
@@ -898,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c12_protobuf_roundtrip": q_c12_protobuf_roundtrip,
         "c3_json_command": q_c3_json_command,
         "m1_msgtype_command_map": q_m1_msgtype_command_map,
+        "mm1_media_features": q_mm1_media_features,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1237,6 +1266,16 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string(list_sort(string_split(query, '&')), '&')
                      ELSE '' END AS canon_url
             FROM parts""",
+        "mm1_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'riff_wav' ELSE 'mp4ish' END AS format,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 6
+                             WHEN 1 THEN 12 ELSE 8 END
+                        + octet_length(encode(text)) AS INT) AS n_bytes
+            FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count

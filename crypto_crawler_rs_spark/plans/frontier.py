@@ -529,8 +529,17 @@ class FrontierScheduler:
             ).collect()
             merge_shard_bitmaps(bloom, rows)
         else:
-            delta_pd = seen_delta.select("host_hash", "url_hash").toPandas()
-            bloom.add(delta_pd["host_hash"].to_numpy(), delta_pd["url_hash"].to_numpy())
+            # small rounds: read the just-written delta parquet
+            # directly with pyarrow — no Spark job, one less entry in
+            # the per-round serial floor (cluster note: pyarrow reads
+            # the same path via fsspec; the distributed branch above
+            # is the real 10^10 path regardless)
+            import pyarrow.parquet as pq
+
+            delta_tbl = pq.read_table(seen_path, columns=["host_hash", "url_hash"])
+            bloom.add(
+                delta_tbl["host_hash"].to_numpy(), delta_tbl["url_hash"].to_numpy()
+            )
         bloom_path = self.store.round_dir(rnd + 1, "bloom")
         bloom.save(bloom_path)
 
@@ -591,7 +600,13 @@ class FrontierScheduler:
             .groupBy("url", "host")
             .agg(F.min("depth").cast("int").alias("depth"))
         )
-        frontier_path = self.store.write(next_frontier, rnd + 1, "frontier")
+        # frontier size piggybacks on the write job as an observed
+        # metric — previously a separate read-back count job, part of
+        # the per-round serial floor
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        next_frontier = next_frontier.observe(obs, F.count(F.lit(1)).alias("n"))
 
         # metrics: per seen-bucket lineage counters (K3/A2) — one
         # unioned pass, single shuffle
@@ -643,9 +658,23 @@ class FrontierScheduler:
             )
             .withColumn("round", F.lit(rnd))
         )
-        metrics_path = self.store.write(metrics, rnd, "metrics", partitions=1)
+        # frontier + metrics writes share only the persisted parents
+        # (links/fetched/cand) — submit concurrently like the earlier
+        # snapshot writes; the observation resolves with the frontier
+        # write action
+        if cfg.concurrent_writes:
+            from concurrent.futures import ThreadPoolExecutor
 
-        n_frontier = self.store.read(frontier_path).count()
+            with ThreadPoolExecutor(2) as pool:
+                ff = pool.submit(self.store.write, next_frontier, rnd + 1, "frontier")
+                fm = pool.submit(self.store.write, metrics, rnd, "metrics", partitions=1)
+                frontier_path = ff.result()
+                metrics_path = fm.result()
+        else:
+            frontier_path = self.store.write(next_frontier, rnd + 1, "frontier")
+            metrics_path = self.store.write(metrics, rnd, "metrics", partitions=1)
+
+        n_frontier = int(obs.get["n"])
         for df in (cand, popped, fetched, links):
             df.unpersist()
         for res in round_cleanup:
