@@ -19,6 +19,7 @@ locale/unicode normalization drift.
 
 from __future__ import annotations
 
+import gzip
 import re
 from collections.abc import Iterator
 
@@ -31,12 +32,22 @@ _PARA_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _HREF_RE = re.compile(r'href="([^"]*)"')
 
 
+def _maybe_gunzip(b: bytes) -> bytes:
+    """Common-Crawl WARC payloads are frequently gzip members; the
+    reference likewise decompresses every frame before parsing
+    (ws_client_internal.rs:629-668).  Magic-byte sniff keeps plain
+    html untouched — extraction stays byte-identical either way."""
+    if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+        return gzip.decompress(b)
+    return b
+
+
 def extract_text_py(html: bytes | None) -> str | None:
     """Pure-Python extraction (oracle + unit tests). Byte-for-byte
     the inverse of the fixture generator's html rendering."""
     if html is None:
         return None
-    s = html.decode("utf-8", errors="strict")
+    s = _maybe_gunzip(html).decode("utf-8", errors="strict")
     title = _TITLE_RE.search(s)
     paras = _PARA_RE.findall(s)
     parts = ([title.group(1)] if title else []) + paras
@@ -46,12 +57,12 @@ def extract_text_py(html: bytes | None) -> str | None:
 def extract_outlinks_py(html: bytes | None) -> list[str]:
     if html is None:
         return []
-    return _HREF_RE.findall(html.decode("utf-8", errors="strict"))
+    return _HREF_RE.findall(_maybe_gunzip(html).decode("utf-8", errors="strict"))
 
 
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: b.decode("utf-8") if b is not None else None)
+    s = html.map(lambda b: _maybe_gunzip(b).decode("utf-8") if b is not None else None)
     s = pd.Series(s, index=html.index, dtype="object")
     title = s.str.extract(_TITLE_RE, expand=False)
     # extractall returns one row per <p> match; join back per index
@@ -74,7 +85,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @pandas_udf(ArrayType(StringType()))
 def outlinks_udf(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: b.decode("utf-8") if b is not None else None)
+    s = html.map(lambda b: _maybe_gunzip(b).decode("utf-8") if b is not None else None)
     s = pd.Series(s, index=html.index, dtype="object")
     found = s.str.findall(_HREF_RE)
     return found.map(lambda x: x if isinstance(x, list) else [])

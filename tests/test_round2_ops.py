@@ -141,6 +141,32 @@ def test_lsh_high_dim_no_codegen_blowup(spark):
     assert set(out.bucket.str.replace("1", "").str.replace("0", "")) == {""}
 
 
+def test_ann_lsh_recall_on_planted_neardups(spark):
+    """LSH recall on ACTUAL near-duplicates (the production use-case,
+    unlike uniformly random vectors where ANN recall is inherently
+    low): each query has a planted high-cosine twin; the LSH path
+    must surface the twin as the top neighbor for most queries."""
+    from crypto_crawler_rs_spark.operators.similarity import cosine_topk_lsh
+
+    rng = np.random.default_rng(5)
+    n_base = 25
+    rows = []
+    for i in range(n_base):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        twin = v + rng.normal(size=64) * 0.05  # cosine ~0.999
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in twin]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 1000")
+    got = cosine_topk_lsh(
+        queries, corpus, dim=64, k=2, n_planes=6, n_tables=8, hash_family="md5"
+    ).toPandas()
+    top1 = got[got.rk == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(top1.get(i) == 1000 + i for i in range(n_base))
+    assert hits >= 0.8 * n_base, f"recall {hits}/{n_base}"
+
+
 def test_ngram_df_cap_equivalence_and_capping(spark, docs):
     from crypto_crawler_rs_spark.operators.dedup import ngram_jaccard_pairs
 
