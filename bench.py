@@ -200,6 +200,10 @@ def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # JVM/python-worker warm-up outside any timed query, so the first
+    # alphabetical entry doesn't absorb ~4s of pool spin-up
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    qs["dedup_exact"](spark, sf_dir).count()
     out = {}
     for name in sorted(qs):
         t0 = time.perf_counter()

@@ -290,11 +290,17 @@ def simhash_fingerprints(
         n_digits = n_bits // 4
         tok = tok.withColumn("_h", F.md5("_t"))
         # digit j (1-based from the left of the first n_digits hex
-        # chars) carries bits 4*(n_digits-j)+3 .. 4*(n_digits-j)
-        digits = [
-            F.conv(F.substring("_h", j, 1), 16, 10).cast("int")
-            for j in range(1, n_digits + 1)
-        ]
+        # chars) carries bits 4*(n_digits-j)+3 .. 4*(n_digits-j).
+        # Digits are MATERIALIZED as columns so each conv/substring
+        # evaluates once per token, not once per bit (4x per digit)
+        tok = tok.select(
+            "_id",
+            *[
+                F.conv(F.substring("_h", j, 1), 16, 10).cast("int").alias(f"_d{j}")
+                for j in range(1, n_digits + 1)
+            ],
+        )
+        digits = [F.col(f"_d{j}") for j in range(1, n_digits + 1)]
         bit = [
             F.shiftright(digits[n_digits - 1 - (b // 4)], b % 4).bitwiseAND(F.lit(1))
             for b in range(n_bits)
@@ -345,7 +351,15 @@ def simhash_pairs(
     if n_bands is None:
         n_bands = max_hamming + 1
     width = n_bits // n_bands
-    fpx = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    # the fingerprint build is a WIDE plan (n_bits aggregates + an
+    # n_bits-term reassembly fold); the band union + self-join would
+    # re-analyze that tree once per branch, so planning dominates the
+    # query.  localCheckpoint materializes the (id, fp) pairs (two
+    # 8-byte columns) and truncates the lineage — downstream plans see
+    # a leaf.
+    fpx = fp.select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp")
+    ).localCheckpoint()
     bands = []
     for b in range(n_bands):
         lo = b * width
