@@ -53,6 +53,30 @@ class ShardedBloom:
         else:
             self._arr = np.zeros((n_shards, bits_per_shard // 8), dtype=np.uint8)
 
+    @classmethod
+    def for_cardinality(
+        cls,
+        n_expected: int,
+        fp_target: float = 0.01,
+        n_shards: int = 32,
+        counting: bool = False,
+    ) -> "ShardedBloom":
+        """Size the filter from expected cardinality: standard Bloom
+        formulas m = -n·ln(p)/ln(2)², k = (m/n)·ln(2), distributed
+        over ``n_shards`` (uniform host-hash sharding ⇒ ~n/shards keys
+        per shard).  At 10^10 URLs / 1% fp this yields ~12 GB of bits
+        — exactly why the probe path must be shard-aligned, never a
+        whole-filter broadcast."""
+        import math
+
+        n_per_shard = max(1, n_expected // n_shards)
+        m = int(-n_per_shard * math.log(fp_target) / (math.log(2) ** 2))
+        m = max(64, (m + 7) // 8 * 8)  # byte-align
+        k = max(1, round(m / n_per_shard * math.log(2)))
+        return cls(
+            n_shards=n_shards, bits_per_shard=m, n_hashes=min(k, 16), counting=counting
+        )
+
     # -- positions --------------------------------------------------
     def _positions(self, url_hash: np.ndarray) -> np.ndarray:
         """(n, k) bit positions via double hashing on the u64 hash."""

@@ -97,6 +97,14 @@ class FrontierConfig:
     # by filter size.
     bloom_probe_mode: str = "auto"  # auto | broadcast | sharded
     bloom_broadcast_max_bytes: int = 64 << 20
+    # counting-filter mode (the north-rule cuckoo-style fallback for
+    # deletions): forget() then also DELETES from the filter, so
+    # forgotten urls go back to the fast definitely-unseen path
+    # instead of permanently degrading the prune rate.  Counting
+    # shards are uint8 counts (8x the bits), so it's for
+    # deletion-heavy crawls; correctness never depends on it either
+    # way (the exact anti-join is the authority).
+    bloom_counting: bool = False
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -242,7 +250,10 @@ class FrontierScheduler:
         fpath = self.store.write(frontier, 0, "frontier")
         hpath = self.store.write(self._empty_host_state(), 0, "host_state")
         bloom = ShardedBloom(
-            self.cfg.n_seen_buckets, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes
+            self.cfg.n_seen_buckets,
+            self.cfg.bloom_bits_per_shard,
+            self.cfg.bloom_hashes,
+            counting=self.cfg.bloom_counting,
         )
         bpath = self.store.round_dir(0, "bloom")
         bloom.save(bpath)
@@ -313,6 +324,39 @@ class FrontierScheduler:
         tpath = self.store.write(tomb, rnd, "seen_tombstone")
         new_manifest = dict(manifest)
         new_manifest["tombstones"] = manifest.get("tombstones", []) + [tpath]
+        if self.cfg.bloom_counting:
+            # counting-filter delete (cuckoo-style): the forgotten
+            # urls return to the fast definitely-unseen bloom path.
+            # Only urls ACTUALLY in the seen set may decrement —
+            # deleting a never-inserted key would corrupt shared
+            # counters into false NEGATIVES, and bloom false negatives
+            # (unlike false positives) bypass the exact anti-join.
+            # Forget lists are operator-supplied and bounded, so a
+            # driver-side collect of their hashes is fine.
+            seen_now = self._read_seen(manifest)
+            deletable = self.store.read(tpath).select("url")
+            if seen_now is not None:
+                deletable = deletable.join(
+                    seen_now.select("url").distinct(), "url", "left_semi"
+                )
+            else:
+                deletable = deletable.limit(0)
+            hashes = (
+                deletable
+                .select(F.xxhash64("url").alias("u"), F.hash(host_col(F.col("url"))).alias("h"))
+                .collect()
+            )
+            if hashes:
+                import numpy as np
+
+                bloom = ShardedBloom.load(manifest["bloom"])
+                bloom.delete(
+                    np.array([r["h"] for r in hashes], dtype=np.int64),
+                    np.array([r["u"] for r in hashes], dtype=np.int64),
+                )
+                bpath = self.store.round_dir(rnd, "bloom_forget")
+                bloom.save(bpath)
+                new_manifest["bloom"] = bpath
         self.store.commit(new_manifest)
         return new_manifest
 
@@ -518,6 +562,7 @@ class FrontierScheduler:
         # volume independent of row count (the 10^10-scale path).
         if (
             manifest.get("frontier_size", 0) >= cfg.distributed_bloom_threshold
+            and not cfg.bloom_counting  # bitmap OR-merge is bits-only
         ):
             from ..functions.bloom import build_shard_bitmaps, merge_shard_bitmaps
 
