@@ -105,6 +105,12 @@ class FrontierConfig:
     # deletion-heavy crawls; correctness never depends on it either
     # way (the exact anti-join is the authority).
     bloom_counting: bool = False
+    # expected total distinct URLs for the whole crawl: when set, the
+    # filter is sized by the standard bloom formulas instead of the
+    # fixed bits_per_shard (ShardedBloom.for_cardinality) — at 10^10
+    # URLs / 1% fp that's ~12 GB of bits, which is exactly why the
+    # sharded probe path exists
+    bloom_expected_urls: int | None = None
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -249,12 +255,19 @@ class FrontierScheduler:
         )
         fpath = self.store.write(frontier, 0, "frontier")
         hpath = self.store.write(self._empty_host_state(), 0, "host_state")
-        bloom = ShardedBloom(
-            self.cfg.n_seen_buckets,
-            self.cfg.bloom_bits_per_shard,
-            self.cfg.bloom_hashes,
-            counting=self.cfg.bloom_counting,
-        )
+        if self.cfg.bloom_expected_urls is not None:
+            bloom = ShardedBloom.for_cardinality(
+                self.cfg.bloom_expected_urls,
+                n_shards=self.cfg.n_seen_buckets,
+                counting=self.cfg.bloom_counting,
+            )
+        else:
+            bloom = ShardedBloom(
+                self.cfg.n_seen_buckets,
+                self.cfg.bloom_bits_per_shard,
+                self.cfg.bloom_hashes,
+                counting=self.cfg.bloom_counting,
+            )
         bpath = self.store.round_dir(0, "bloom")
         bloom.save(bpath)
         manifest = {

@@ -88,3 +88,29 @@ def test_engine_counting_forget_restores_bloom_path(spark, tmp_path):
             {r["url"] for r in eng.seen(m).select("url").collect()},
         )
     assert results[False] == results[True]
+
+
+def test_engine_sized_bloom_matches_oracle(spark, tmp_path):
+    """bloom_expected_urls sizes the filter; crawl results stay exact
+    (bloom is only ever a prefilter)."""
+    from crypto_crawler_rs_spark.plans.frontier import FrontierConfig, FrontierScheduler
+    from crypto_crawler_rs_spark.plans.oracle import OracleCrawler
+    from crypto_crawler_rs_spark.sources.fixtures import corpus_to_spark, gen_corpus
+
+    corpus = gen_corpus(n_pages=80, n_hosts=4, n_seeds=8, seed=29)
+    sdfs = corpus_to_spark(spark, corpus)
+    eng = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], str(tmp_path / "s"),
+        FrontierConfig(max_rounds=4, n_seen_buckets=4, bloom_expected_urls=10_000),
+    )
+    m = eng.run(seeds=sdfs["seeds"], max_rounds=4)
+    exp = OracleCrawler(corpus["pages"], corpus["host_policy"]).run(
+        corpus["seeds"], max_rounds=4
+    )
+    got = eng.fetched(m).toPandas()
+    gs = got[got.status.isin(["ok", "missing"])].sort_values(["round", "rank_in_round"])
+    es = exp.fetched[exp.fetched.status.isin(["ok", "missing"])].sort_values(
+        ["round", "rank_in_round"]
+    )
+    assert gs["url"].tolist() == es["url"].tolist()
+    assert {r["url"] for r in eng.seen(m).select("url").collect()} == exp.seen
