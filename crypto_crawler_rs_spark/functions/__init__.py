@@ -6,6 +6,17 @@ from .text import (
     extract_outlinks_py,
     outlinks_udf,
 )
+from .bloom import ShardedBloom, bloom_probe_udf, sharded_probe_col
+from .payload import (
+    decode_frame,
+    decode_frame_udf,
+    decompress_udf,
+    hmac_sign_udf,
+    pb_decode,
+    pb_decode_udf,
+    pb_encode,
+    pb_encode_udf,
+)
 
 __all__ = [
     "canonicalize_url",
@@ -18,4 +29,15 @@ __all__ = [
     "extract_text_udf",
     "extract_outlinks_py",
     "outlinks_udf",
+    "ShardedBloom",
+    "bloom_probe_udf",
+    "sharded_probe_col",
+    "decode_frame",
+    "decode_frame_udf",
+    "decompress_udf",
+    "hmac_sign_udf",
+    "pb_decode",
+    "pb_decode_udf",
+    "pb_encode",
+    "pb_encode_udf",
 ]

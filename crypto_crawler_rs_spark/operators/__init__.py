@@ -8,10 +8,13 @@ from .dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     simhash64,
+    simhash_fingerprints,
+    simhash_pairs,
 )
 from .similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    cosine_neardup_pairs,
     lsh_bucket_signatures,
     with_unit_vectors,
 )
@@ -27,8 +30,11 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_fingerprints",
+    "simhash_pairs",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_neardup_pairs",
     "lsh_bucket_signatures",
     "with_unit_vectors",
     "extract_media_features",
