@@ -111,6 +111,10 @@ class FrontierConfig:
     # URLs / 1% fp that's ~12 GB of bits, which is exactly why the
     # sharded probe path exists
     bloom_expected_urls: int | None = None
+    # record per-phase wall times into each round's manifest entry
+    # ("timings") — for diagnosing the serial floor; no effect on
+    # results
+    profile_rounds: bool = False
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -379,6 +383,13 @@ class FrontierScheduler:
             return self._run_round(manifest)
 
     def _run_round(self, manifest: dict) -> dict:
+        import time as _time
+
+        _marks = [("start", _time.perf_counter())]
+
+        def _mark(name: str) -> None:
+            _marks.append((name, _time.perf_counter()))
+
         cfg = self.cfg
         rnd = manifest["round"]
         # per-round resources (persisted intermediates, broadcasts)
@@ -568,6 +579,7 @@ class FrontierScheduler:
             host_state_path = self.store.write(new_state, rnd + 1, "host_state")
             seen_path = self.store.write(seen_delta, rnd, "seen_delta")
         seen_delta = self.store.read(seen_path)
+        _mark("fetch_and_state_writes")
 
         # bloom maintenance: small deltas collect raw hashes (cheap,
         # one job); big deltas build shard bitmaps executor-side and
@@ -600,6 +612,7 @@ class FrontierScheduler:
             )
         bloom_path = self.store.round_dir(rnd + 1, "bloom")
         bloom.save(bloom_path)
+        _mark("bloom_update")
 
         # discovery (T8): outlinks of ok pages -> canonical -> unseen
         ok = fetched.filter(F.col("status") == "ok")
@@ -733,6 +746,7 @@ class FrontierScheduler:
             metrics_path = self.store.write(metrics, rnd, "metrics", partitions=1)
 
         n_frontier = int(obs.get["n"])
+        _mark("discovery_and_frontier_writes")
         for df in (cand, popped, fetched, links):
             df.unpersist()
         for res in round_cleanup:
@@ -770,6 +784,12 @@ class FrontierScheduler:
             "frontier_size": n_frontier,
             "quarantine": manifest.get("quarantine"),
         }
+        if cfg.profile_rounds:
+            _mark("finalize")
+            new_manifest["timings"] = {
+                name: round(t - _marks[i][1], 3)
+                for i, (name, t) in enumerate(_marks[1:])
+            }
         self.store.commit(new_manifest)
         return new_manifest
 
