@@ -84,14 +84,48 @@ def host_of_url(url: str | None) -> str | None:
     return m.group("host").lower()
 
 
+def _sort_query(q: str) -> str | None:
+    """Stable (key, pair) sort of query pairs; None when no pairs
+    survive (mirrors canonicalize_url's omit-empty-'?' rule)."""
+    pairs = [p for p in q.split("&") if p != ""]
+    if not pairs:
+        return None
+    return "&".join(p for _, p in sorted((p.split("=", 1)[0], p) for p in pairs))
+
+
 def _canonicalize_series(s: pd.Series) -> pd.Series:
     # vectorized fast path: already-canonical URLs pass through
     clean = s.str.match(_CLEAN_RE, na=False)
     if clean.all():
         return s
     out = s.copy()
-    dirty = ~clean
-    out[dirty] = s[dirty].map(canonicalize_url)
+    dirty = (~clean) & s.notna()
+    if not dirty.any():
+        return out
+    # vectorized messy path: ONE regex pass extracts all components
+    # (named groups), assembly is pandas str ops; only the query-sort
+    # touches python per element, and only for urls that HAVE a query.
+    # Semantics are pinned 1:1 to canonicalize_url by a randomized
+    # equivalence test (tests/test_functions.py).
+    d = s[dirty].str.strip()
+    m = d.str.extract(_URL_RE)
+    parseable = m["scheme"].notna()
+    scheme = m["scheme"].str.lower()
+    host = m["host"].str.lower()
+    port = m["port"]
+    default = scheme.map(_DEFAULT_PORTS).fillna("")
+    keep_port = port.notna() & (port != default)
+    netloc = host.where(~keep_port, host + ":" + port.fillna(""))
+    base = scheme + "://" + netloc + m["path"].fillna("/")
+    q = m["query"]
+    has_q = q.notna() & (q != "")
+    if has_q.any():
+        sq = q[has_q].map(_sort_query)
+        keep = sq.notna()
+        add = base[has_q][keep] + "?" + sq[keep]
+        base.update(add)
+    canon = base.where(parseable, None)
+    out[dirty] = canon
     return out
 
 

@@ -142,3 +142,64 @@ def test_outlinks_udf_matches_python(spark, tiny_corpus):
     pdf = tiny_corpus["pages"]
     for _, row in pdf.head(30).iterrows():
         assert got[row.url] == extract_outlinks_py(row.html)
+
+
+def test_canonicalize_series_equals_scalar_on_messy_urls():
+    """The vectorized messy path must agree with canonicalize_url on
+    every dialect corner: case, ports (default/odd/leading-zero),
+    fragments, empty paths, query sorting/duplicates/empties, garbage."""
+    import pandas as pd
+
+    from crypto_crawler_rs_spark.functions.urls import (
+        _canonicalize_series,
+        canonicalize_url,
+    )
+
+    cases = [
+        "HTTPS://WWW.Example.COM:443/Path/x?b=2&a=1&a=0#frag",
+        "http://Example.com:8080/p/1",
+        "HTTP://EXAMPLE.COM",
+        "https://example.com/ok?z=9#x",
+        "https://example.com:0443/p",      # non-canonical default port spelling
+        "https://example.com/?",            # empty query
+        "https://example.com/?&&",          # pairs all empty
+        "https://example.com/a?x&y=1",      # bare key
+        "  https://pad.example.com/a  ",    # whitespace
+        "ftp://Files.Example.com:21/x",     # non-http scheme, port kept
+        "not a url",
+        "::garbage::",
+        "",
+        None,
+        "https://example.com/a?k=v&k=a",    # duplicate keys sorted by pair
+        "https://clean.example.com/already/canonical",
+    ]
+    got = _canonicalize_series(pd.Series(cases, dtype="object"))
+    for raw, g in zip(cases, got):
+        assert g == canonicalize_url(raw), f"{raw!r}: {g!r} != {canonicalize_url(raw)!r}"
+
+
+def test_canonicalize_series_equals_scalar_randomized():
+    import random
+
+    import pandas as pd
+
+    from crypto_crawler_rs_spark.functions.urls import (
+        _canonicalize_series,
+        canonicalize_url,
+    )
+
+    rng = random.Random(99)
+    schemes = ["http", "HTTPS", "Http", "ws"]
+    hosts = ["A.b.C", "x.example.COM", "h0st-1.org"]
+    ports = ["", ":80", ":443", ":8443", ":007"]
+    paths = ["", "/", "/P/q", "/a%20b"]
+    queries = ["", "?b=2&a=1", "?dup=1&dup=0&a", "?&", "?k"]
+    frags = ["", "#f", "#a#b"]
+    cases = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(500)
+    ]
+    got = _canonicalize_series(pd.Series(cases, dtype="object"))
+    for raw, g in zip(cases, got):
+        assert g == canonicalize_url(raw), f"{raw!r}"
