@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH then EXACT Jaccard confirmation.
 
@@ -198,6 +199,14 @@ def minhash_lsh_pairs(
     oracle replays the identical minhashes and band signatures), at
     the cost of string shuffle keys — use the default xxhash64 in
     production.
+
+    ``bucket_cap``: drop band buckets holding more than cap docs —
+    the degenerate-bucket guard for mass-duplicate corpora, where one
+    bucket of b identical docs costs b² candidate pairs.  Those docs
+    are exact duplicates (or near enough to collide on most bands);
+    run :func:`exact_dedup` FIRST and feed only keeper docs here, and
+    the cap never fires.  Mirror the cap in any oracle (recall-only
+    effect, like the band count itself).
     """
     from pyspark import StorageLevel
 
@@ -230,6 +239,14 @@ def minhash_lsh_pairs(
             )
         )
     banded = reduce(lambda x, y: x.unionByName(y), bands)
+    if bucket_cap is not None:
+        keep = (
+            banded.groupBy("_band", "_sig")
+            .agg(F.count("*").alias("_bc"))
+            .filter(F.col("_bc") <= bucket_cap)
+            .select("_band", "_sig")
+        )
+        banded = banded.join(keep, ["_band", "_sig"])
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["_band", "_sig"])

@@ -306,15 +306,30 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     hash_family: str = "xxhash64",
     impl: str = "auto",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket collisions -> exact cosine
-    re-rank of candidates only."""
+    re-rank of candidates only.
+
+    ``bucket_cap``: drop corpus buckets larger than cap — the
+    degenerate-bucket guard (a near-zero vector or a mass-duplicated
+    embedding floods one bucket; its members still collide with their
+    true neighbors in OTHER tables).  Recall-only effect; mirror in
+    any oracle."""
     qs = lsh_bucket_signatures(
         queries, id_col, vec_col, dim, n_planes, n_tables, hash_family, impl
     )
     cs = lsh_bucket_signatures(
         corpus, id_col, vec_col, dim, n_planes, n_tables, hash_family, impl
     )
+    if bucket_cap is not None:
+        keep = (
+            cs.groupBy("table", "bucket")
+            .agg(F.count("*").alias("_bc"))
+            .filter(F.col("_bc") <= bucket_cap)
+            .select("table", "bucket")
+        )
+        cs = cs.join(keep, ["table", "bucket"])
     cand = (
         qs.select(F.col("_id").alias("query_id"), "table", "bucket")
         .join(cs.select(F.col("_id").alias("neighbor_id"), "table", "bucket"), ["table", "bucket"])

