@@ -114,3 +114,41 @@ def test_engine_sized_bloom_matches_oracle(spark, tmp_path):
     )
     assert gs["url"].tolist() == es["url"].tolist()
     assert {r["url"] for r in eng.seen(m).select("url").collect()} == exp.seen
+
+
+def test_engine_kitchen_sink_config_matches_oracle(spark, tmp_path):
+    """All round-2 knobs AT ONCE (sharded probe + counting filter +
+    sized bloom + profiling + concurrent writes off) must still match
+    the sequential oracle exactly — guards against config
+    interactions."""
+    from crypto_crawler_rs_spark.plans.frontier import FrontierConfig, FrontierScheduler
+    from crypto_crawler_rs_spark.plans.oracle import OracleCrawler
+    from crypto_crawler_rs_spark.sources.fixtures import corpus_to_spark, gen_corpus
+
+    corpus = gen_corpus(n_pages=90, n_hosts=5, n_seeds=8, seed=41)
+    sdfs = corpus_to_spark(spark, corpus)
+    eng = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], str(tmp_path / "s"),
+        FrontierConfig(
+            max_rounds=4,
+            n_seen_buckets=4,
+            bloom_probe_mode="sharded",
+            bloom_counting=True,
+            bloom_expected_urls=5_000,
+            profile_rounds=True,
+            concurrent_writes=False,
+            compact_seen_every=2,
+        ),
+    )
+    m = eng.run(seeds=sdfs["seeds"], max_rounds=4)
+    exp = OracleCrawler(corpus["pages"], corpus["host_policy"]).run(
+        corpus["seeds"], max_rounds=4
+    )
+    got = eng.fetched(m).toPandas()
+    gs = got[got.status.isin(["ok", "missing"])].sort_values(["round", "rank_in_round"])
+    es = exp.fetched[exp.fetched.status.isin(["ok", "missing"])].sort_values(
+        ["round", "rank_in_round"]
+    )
+    assert gs["url"].tolist() == es["url"].tolist()
+    assert {r["url"] for r in eng.seen(m).select("url").collect()} == exp.seen
+    assert "timings" in m and m["timings"]  # profiling recorded
