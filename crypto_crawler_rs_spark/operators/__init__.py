@@ -19,6 +19,7 @@ from .similarity import (
     with_unit_vectors,
 )
 from .multimodal import extract_media_features, gen_media_fixture, sniff_format
+from .seenjoin import filter_unseen_bucket_pruned
 
 __all__ = [
     "global_rank",
@@ -40,4 +41,5 @@ __all__ = [
     "extract_media_features",
     "gen_media_fixture",
     "sniff_format",
+    "filter_unseen_bucket_pruned",
 ]

@@ -115,6 +115,18 @@ class FrontierConfig:
     # ("timings") — for diagnosing the serial floor; no effect on
     # results
     profile_rounds: bool = False
+    # exact seen-membership strategy for discovery:
+    #   'shuffle'        left_anti join — shuffles the WHOLE seen set
+    #                    on url every round (fine until the seen set
+    #                    dwarfs the cluster's shuffle capacity; on
+    #                    Iceberg, bucketing both sides removes it)
+    #   'bucket_pruned'  seen deltas stored partitionBy(bucket); each
+    #                    task reads only its bucket's files and checks
+    #                    membership in memory — NO seen-side shuffle,
+    #                    the 10^10 path on plain parquet (size
+    #                    n_seen_buckets so one bucket's urls fit a
+    #                    task; operators/seenjoin.py)
+    seen_anti_join: str = "shuffle"
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -217,12 +229,21 @@ class FrontierScheduler:
         )
 
     def _seen_delta(self, df: DataFrame, rnd: int) -> DataFrame:
-        return df.select(
+        out = df.select(
             "url",
             F.xxhash64("url").alias("url_hash"),
             F.hash("host").alias("host_hash"),
             F.lit(rnd).alias("added_round"),
         )
+        if self.cfg.seen_anti_join == "bucket_pruned":
+            out = out.withColumn(
+                "bucket", F.pmod(F.col("host_hash"), F.lit(self.cfg.n_seen_buckets))
+            )
+        return out
+
+    @property
+    def _seen_partition_by(self) -> str | None:
+        return "bucket" if self.cfg.seen_anti_join == "bucket_pruned" else None
 
     # -- init / resume --------------------------------------------------
     def init_state(self, seeds: DataFrame) -> dict:
@@ -570,14 +591,19 @@ class FrontierScheduler:
             with ThreadPoolExecutor(3) as pool:
                 fa = pool.submit(self.store.write, log, rnd, "fetched")
                 fb = pool.submit(self.store.write, new_state, rnd + 1, "host_state")
-                fc = pool.submit(self.store.write, seen_delta, rnd, "seen_delta")
+                fc = pool.submit(
+                    self.store.write, seen_delta, rnd, "seen_delta",
+                    None, self._seen_partition_by,
+                )
                 fetched_path = fa.result()
                 host_state_path = fb.result()
                 seen_path = fc.result()
         else:
             fetched_path = self.store.write(log, rnd, "fetched")
             host_state_path = self.store.write(new_state, rnd + 1, "host_state")
-            seen_path = self.store.write(seen_delta, rnd, "seen_delta")
+            seen_path = self.store.write(
+                seen_delta, rnd, "seen_delta", partition_by=self._seen_partition_by
+            )
         seen_delta = self.store.read(seen_path)
         _mark("fetch_and_state_writes")
 
@@ -655,12 +681,36 @@ class FrontierScheduler:
             "maybe_seen", probe(F.col("host_hash"), F.col("url_hash"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         definitely_new = links.filter(~F.col("maybe_seen"))
-        all_seen = seen_delta if seen is None else seen.unionByName(seen_delta)
-        confirmed_new = links.filter(F.col("maybe_seen")).join(
-            all_seen.select("url"), "url", "left_anti"
-        )
-        discovered = definitely_new.unionByName(confirmed_new).select(
-            "url", "host", "depth"
+        if cfg.seen_anti_join == "bucket_pruned":
+            # exact membership WITHOUT shuffling the seen set: tasks
+            # read only their bucket's seen files (operators/seenjoin)
+            from ..operators.seenjoin import filter_unseen_bucket_pruned
+
+            tombs = self.store.read_union(manifest.get("tombstones", []))
+            tomb_rounds = (
+                {}
+                if tombs is None
+                else {
+                    r["url"]: r["tr"]
+                    for r in tombs.groupBy("url")
+                    .agg(F.max("tomb_round").alias("tr"))
+                    .collect()
+                }
+            )
+            confirmed_new = filter_unseen_bucket_pruned(
+                links.filter(F.col("maybe_seen")),
+                manifest["seen"] + [seen_path],
+                tomb_rounds,
+                cfg.n_seen_buckets,
+                current_round=rnd,
+            )
+        else:
+            all_seen = seen_delta if seen is None else seen.unionByName(seen_delta)
+            confirmed_new = links.filter(F.col("maybe_seen")).join(
+                all_seen.select("url"), "url", "left_anti"
+            )
+        discovered = definitely_new.select("url", "host", "depth").unionByName(
+            confirmed_new.select("url", "host", "depth")
         )
 
         # next frontier: waiting ∪ deferred ∪ discovered, min depth per url
@@ -769,7 +819,12 @@ class FrontierScheduler:
                 cfg.n_seen_buckets,
                 F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
             )
-            seen_paths = [self.store.write(compact, rnd + 1, "seen_compact")]
+            seen_paths = [
+                self.store.write(
+                    compact, rnd + 1, "seen_compact",
+                    partition_by=self._seen_partition_by,
+                )
+            ]
             tomb_paths = []  # folded into the compacted snapshot
 
         new_manifest = {

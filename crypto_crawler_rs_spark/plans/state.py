@@ -63,10 +63,23 @@ class StateStore:
     def round_dir(self, rnd: int, name: str) -> str:
         return os.path.join(self.root, "rounds", f"{rnd:06d}", name)
 
-    def write(self, df: DataFrame, rnd: int, name: str, partitions: int | None = None) -> str:
+    def write(
+        self,
+        df: DataFrame,
+        rnd: int,
+        name: str,
+        partitions: int | None = None,
+        partition_by: str | None = None,
+    ) -> str:
         path = self.round_dir(rnd, name)
         w = df.repartition(partitions) if partitions else df
-        w.write.mode("overwrite").parquet(path)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            # hive-style bucket directories (bucket=K/...) — the plain
+            # -parquet stand-in for an Iceberg bucket transform; lets
+            # readers prune to one bucket's files without a shuffle
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
         return path
 
     def read(self, path: str) -> DataFrame:
@@ -75,4 +88,13 @@ class StateStore:
     def read_union(self, paths: list[str]) -> DataFrame | None:
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        # per-path reads unioned: a multi-path read over hive-
+        # partitioned roots (bucket=K dirs) trips partition-discovery
+        # conflict detection; per-root reads infer each layout cleanly
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
