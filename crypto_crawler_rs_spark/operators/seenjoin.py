@@ -18,6 +18,12 @@ Memory model: one bucket's url set must fit a task — size
 partition).  The shuffle-based path remains the default and the
 semantics authority; equality is pinned by the e2e oracle tests with
 ``seen_anti_join='bucket_pruned'``.
+
+Crossover (measured, 1M-page corpus, 32 cores): at ~1M seen rows the
+two modes tie (40s vs 42s per 4 rounds — python set membership
+offsets the saved shuffle).  The mode pays off when the seen set
+DWARFS the per-round links (10^9+ rows), where re-shuffling it every
+round is minutes of cluster time; below that, keep the default.
 """
 
 from __future__ import annotations
