@@ -38,7 +38,36 @@ def main(argv=None):
     ap.add_argument("--budget-default", type=int, default=2)
     ap.add_argument("--no-emit-deferred", action="store_true")
     ap.add_argument("--seen-buckets", type=int, default=32)
+    ap.add_argument(
+        "--expected-urls", type=int, default=None,
+        help="size the seen bloom filter from expected crawl cardinality",
+    )
+    ap.add_argument(
+        "--bloom-counting", action="store_true",
+        help="counting filter: forget() also deletes from the bloom",
+    )
+    ap.add_argument(
+        "--bloom-probe", choices=["auto", "broadcast", "sharded"], default="auto",
+    )
+    ap.add_argument(
+        "--seen-anti-join", choices=["shuffle", "bucket_pruned"], default="shuffle",
+        help="bucket_pruned = no seen-side shuffle (10^10-row seen sets)",
+    )
+    ap.add_argument("--warc", action="store_true",
+                    help="--pages points at .warc/.warc.gz files instead of parquet")
+    ap.add_argument("--profile-rounds", action="store_true")
     args = ap.parse_args(argv)
+
+    import os
+
+    # local runs from ANY cwd: python puts this script's dir on the
+    # driver's sys.path but workers inherit only PYTHONPATH — export
+    # it before the JVM starts (under spark-submit --py-files this is
+    # redundant and harmless)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pp + (os.pathsep if pp else "") + repo
 
     from pyspark.sql import SparkSession
 
@@ -52,7 +81,12 @@ def main(argv=None):
     spark = SparkSession.builder.appName("crawl_frontier").getOrCreate()
 
     if args.pages:
-        pages = spark.read.parquet(args.pages)
+        if args.warc:
+            from crypto_crawler_rs_spark.sources.warc import pages_from_warc
+
+            pages = pages_from_warc(spark, args.pages)
+        else:
+            pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
         policy = spark.read.parquet(args.policy)
     else:
@@ -70,6 +104,11 @@ def main(argv=None):
         emit_deferred=not args.no_emit_deferred,
         default_budget=args.budget_default,
         n_seen_buckets=args.seen_buckets,
+        bloom_expected_urls=args.expected_urls,
+        bloom_counting=args.bloom_counting,
+        bloom_probe_mode=args.bloom_probe,
+        seen_anti_join=args.seen_anti_join,
+        profile_rounds=args.profile_rounds,
     )
     eng = FrontierScheduler(spark, pages, policy, args.state, cfg)
     manifest = eng.run(seeds=seeds, max_rounds=args.max_rounds)
