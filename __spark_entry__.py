@@ -1263,7 +1263,17 @@ def oracle_sql() -> dict[str, str]:
                      THEN ':' || port ELSE '' END ||
                 CASE WHEN path = '' THEN '/' ELSE path END ||
                 CASE WHEN query <> '' THEN '?' ||
-                     array_to_string(list_sort(string_split(query, '&')), '&')
+                     -- (key, pair) struct sort pins the ENGINE's
+                     -- comparator (urls._sort_query sorts tuples of
+                     -- (key, whole-pair)); a plain lexicographic sort
+                     -- of 'k=v' strings diverges when one key
+                     -- prefixes another and continues below '='
+                     -- (e.g. 'b-x=1&b=2')
+                     array_to_string(
+                         list_transform(
+                             list_sort([{'k': split_part(p, '=', 1), 'p': p}
+                                        for p in string_split(query, '&')]),
+                             x -> x.p), '&')
                      ELSE '' END AS canon_url
             FROM parts""",
         "mm1_media_features": """

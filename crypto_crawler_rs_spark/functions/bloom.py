@@ -95,14 +95,32 @@ class ShardedBloom:
         return np.mod(host_hash.astype(np.int64), n_shards).astype(np.int64) % n_shards
 
     # -- mutate -----------------------------------------------------
+    _SAT = 255  # sticky saturation value for uint8 counters
+
+    def _flat_counts(self, shards: np.ndarray, pos_k: np.ndarray):
+        """(unique flat indices, per-index multiplicity) for one hash
+        round — duplicates within a batch are counted ONCE here so
+        saturating updates never wrap (np.add.at on uint8 wraps
+        256→0, which would turn counters into bloom FALSE NEGATIVES —
+        the one failure the exact anti-join cannot repair)."""
+        flat = shards * np.int64(self._arr.shape[1]) + pos_k
+        return np.unique(flat, return_counts=True)
+
     def add(self, host_hash: np.ndarray, url_hash: np.ndarray) -> None:
         if len(url_hash) == 0:
             return
         shards = self.shard_of(np.asarray(host_hash), self.n_shards)
         pos = self._positions(np.asarray(url_hash))
         if self.counting:
+            # saturating add: counters stick at 255 forever (standard
+            # counting-bloom practice — a saturated counter is never
+            # incremented past nor decremented, trading a few stuck
+            # bits for zero wrap-around false negatives)
+            flat_arr = self._arr.reshape(-1)
             for k in range(self.n_hashes):
-                np.add.at(self._arr, (shards, pos[:, k]), 1)
+                uniq, counts = self._flat_counts(shards, pos[:, k])
+                cur = flat_arr[uniq].astype(np.int64)
+                flat_arr[uniq] = np.minimum(cur + counts, self._SAT).astype(np.uint8)
         else:
             byte = pos >> 3
             bit = (np.uint8(1) << (pos & 7).astype(np.uint8)).astype(np.uint8)
@@ -110,17 +128,26 @@ class ShardedBloom:
                 np.bitwise_or.at(self._arr, (shards, byte[:, k]), bit[:, k])
 
     def delete(self, host_hash: np.ndarray, url_hash: np.ndarray) -> None:
-        """Counting-mode only (cuckoo-style deletion fallback)."""
+        """Counting-mode only (cuckoo-style deletion fallback).
+        Saturated (255) counters are NEVER decremented — once a
+        counter saturates its true value is unknown, so decrementing
+        could underflow other keys' membership into false negatives.
+        Duplicate positions within one call are aggregated first
+        (``cur`` is re-read per unique index, not snapshotted before a
+        scattered subtract), so two deleted keys sharing a position
+        cannot wrap 0→255."""
         if not self.counting:
             raise ValueError("delete requires counting=True")
         if len(url_hash) == 0:
             return
         shards = self.shard_of(np.asarray(host_hash), self.n_shards)
         pos = self._positions(np.asarray(url_hash))
+        flat_arr = self._arr.reshape(-1)
         for k in range(self.n_hashes):
-            idx = (shards, pos[:, k])
-            cur = self._arr[idx]
-            np.subtract.at(self._arr, idx, np.where(cur > 0, 1, 0).astype(np.uint8))
+            uniq, counts = self._flat_counts(shards, pos[:, k])
+            cur = flat_arr[uniq].astype(np.int64)
+            dec = np.where(cur == self._SAT, 0, np.minimum(counts, cur))
+            flat_arr[uniq] = (cur - dec).astype(np.uint8)
 
     # -- probe ------------------------------------------------------
     def probe(self, host_hash: np.ndarray, url_hash: np.ndarray) -> np.ndarray:

@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """All doc pairs with Jaccard(shingle sets) >= threshold.
 
@@ -109,6 +110,12 @@ def ngram_jaccard_pairs(
     they carry ~zero Jaccard signal).  NOTE the semantics change:
     shared/size counts then use the CAPPED shingle sets on both sides
     of the Jaccard — mirror the cap in any oracle.
+
+    ``cleanup``: optional list the persisted shingle index is
+    appended to — unpersist after materializing the result, or a
+    long-lived session accumulates cached partitions per invocation
+    (same pattern as rank.global_rank / bloom_probe_udf).  Without a
+    list the caller owns the leak.
     """
     from pyspark import StorageLevel
 
@@ -124,6 +131,8 @@ def ngram_jaccard_pairs(
     ).withColumn("_sh", F.xxhash64("_s")).drop("_s").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cleanup is not None:
+        cleanup.append(ex)
     if df_cap is not None:
         keep = (
             ex.groupBy("_sh")

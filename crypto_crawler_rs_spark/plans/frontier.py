@@ -617,11 +617,17 @@ class FrontierScheduler:
         ):
             from ..functions.bloom import build_shard_bitmaps, merge_shard_bitmaps
 
+            # shard bitmaps MUST match the live filter's dimensions —
+            # when bloom_expected_urls sizes the filter via
+            # for_cardinality, cfg.bloom_bits_per_shard/bloom_hashes
+            # differ from bloom.bits_per_shard/n_hashes and an OR of
+            # mismatched arrays would crash (or worse, silently set
+            # wrong bits => bloom false negatives => re-crawls)
             rows = build_shard_bitmaps(
                 seen_delta.select("host_hash", "url_hash"),
-                cfg.n_seen_buckets,
-                cfg.bloom_bits_per_shard,
-                cfg.bloom_hashes,
+                bloom.n_shards,
+                bloom.bits_per_shard,
+                bloom.n_hashes,
             ).collect()
             merge_shard_bitmaps(bloom, rows)
         else:

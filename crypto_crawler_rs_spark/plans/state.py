@@ -80,7 +80,25 @@ class StateStore:
             # readers prune to one bucket's files without a shuffle
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
+        if partition_by and not self._has_parquet_files(path):
+            # an EMPTY partitioned write emits zero data files (hive
+            # layout has no dir to carry the schema), which breaks
+            # every downstream read (spark unable-to-infer-schema,
+            # pyarrow no-files).  All-waiting rounds (crawl_delay >= 2,
+            # everyone backing off) make empty deltas routine, so fall
+            # back to a non-partitioned empty file that carries the
+            # schema; bucket readers already tolerate missing
+            # bucket=K/ dirs.  (Iceberg tables carry schema in
+            # metadata — this guard is parquet-stand-in-only.)
+            df.limit(0).write.mode("overwrite").parquet(path)
         return path
+
+    @staticmethod
+    def _has_parquet_files(path: str) -> bool:
+        for _dir, _sub, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
