@@ -439,13 +439,18 @@ def q_c2_placeholder_sub(spark, sf):
 
 def q_c11_decompress(spark, sf):
     """C11 payload decompression dispatch (ws_client_internal.rs:629-801).
-    Identity path over uncompressed bytes; gzip/zlib paths are
-    pytest-verified (tests/test_payload_packing_tsv.py)."""
+    ALL THREE branches under the oracle: the committed fixture
+    (fixtures/c11_payloads_sf0.01.parquet, tools/gen_c11_fixture.py)
+    carries documents text compressed by STDLIB gzip (doc_id%3==0) /
+    zlib (doc_id%3==1) / raw (else), plus the expected plaintext; the
+    engine's magic-byte dispatch must invert every row, and the
+    oracle is a plain projection of the independent expected column."""
     from crypto_crawler_rs_spark.functions.payload import decompress_udf
 
-    d = _t(spark, sf, "documents")
+    d = spark.read.parquet("/root/repo/fixtures/c11_payloads_sf0.01.parquet")
     return d.select(
-        "doc_id", decompress_udf(F.col("text").cast("binary")).alias("text_out")
+        "doc_id",
+        decompress_udf(F.col("payload")).cast("string").alias("text_out"),
     )
 
 
@@ -1186,7 +1191,8 @@ def oracle_sql() -> dict[str, str]:
                    replace('market.SYMBOL.trade.detail', 'SYMBOL', event_type) AS channel
             FROM events""",
         "c11_decompress": """
-            SELECT doc_id, text AS text_out FROM documents""",
+            SELECT doc_id, expected AS text_out
+            FROM read_parquet('/root/repo/fixtures/c11_payloads_sf0.01.parquet')""",
         "w1_topic_cross_product": """
             WITH s AS (SELECT DISTINCT event_type FROM events),
             x AS (SELECT event_type, unnest([60, 300, 900]) AS interval_sec FROM s)

@@ -68,9 +68,14 @@ def _spark(cpus: int):
     )
 
 
-def run_frontier(spark, big: bool = False) -> dict:
+def run_frontier(spark, big: bool = False, scale_config: bool = False) -> dict:
     """Throughput = URL decisions (scheduled + dedup-checked
-    discovered links) per second over a multi-round crawl."""
+    discovered links) per second over a multi-round crawl.
+
+    ``scale_config``: run with the 10^10-URL knob set — bucket_pruned
+    exact seen check (no seen-side shuffle), sharded mmap bloom probe
+    (no whole-filter broadcast), cardinality-sized filter — so the
+    scale path has a tracked number next to the default path."""
     from pyspark.sql import functions as F
 
     from crypto_crawler_rs_spark.plans.frontier import (
@@ -108,12 +113,19 @@ def run_frontier(spark, big: bool = False) -> dict:
         corpus["host_policy"]["budget_per_round"] = budget
         sdfs = corpus_to_spark(spark, corpus)
     state = tempfile.mkdtemp(prefix="bench_frontier_")
+    cfg_kw = dict(max_rounds=rounds, emit_deferred=False)
+    if scale_config:
+        cfg_kw.update(
+            seen_anti_join="bucket_pruned",
+            bloom_probe_mode="sharded",
+            bloom_expected_urls=(knobs["n_pages"] * 4),
+        )
     eng = FrontierScheduler(
         spark,
         sdfs["pages"],
         sdfs["host_policy"],
         state,
-        FrontierConfig(max_rounds=rounds, emit_deferred=False),
+        FrontierConfig(**cfg_kw),
     )
     # warm-up rounds: python-worker pool + pages-cache materialization
     manifest = eng.run(seeds=sdfs["seeds"], max_rounds=warmup)
@@ -135,6 +147,7 @@ def run_frontier(spark, big: bool = False) -> dict:
         "links_deduped": links,
         "fetched_ok": int(agg["ok"] or 0),
         "urls_per_sec": round((scheduled + links) / wall, 1),
+        "config": "scale" if scale_config else "default",
     }
 
 
@@ -196,7 +209,13 @@ def run_kernel(spark, n: int = 10_000_000) -> dict:
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str, runs: int = 2) -> dict:
+    """min-of-N per query: a single cold run mixes janino/JIT compile
+    and GC luck into the number (measured: dedup_minhash_lsh 12.5s
+    cold vs 4.4s steady on an idle box), which made the regression
+    diff fire on noise.  The min is the steady-state engine cost —
+    the number that scales to the cluster, where compilation is
+    amortized over minutes-long stages."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -206,10 +225,150 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs["dedup_exact"](spark, sf_dir).count()
     out = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def run_seenjoin(
+    spark,
+    seen_sizes=(250_000, 1_000_000, 4_000_000),
+    n_links: int = 200_000,
+    n_buckets: int = 32,
+) -> dict:
+    """Isolated anti-join crossover: left_anti shuffle vs
+    bucket-pruned membership (operators/seenjoin.py) against seen
+    sets of growing size, same 200k-link batch (half seen).
+
+    This is THE recurring per-round cost at 10^10 URLs: the shuffle
+    path re-shuffles the whole seen set every round, the bucket path
+    reads only each task's bucket files.  Each point is best-of-2
+    (first run absorbs page-cache warmup).  The full-pipeline bench
+    can't show this — at 1M pages the anti-join is a small slice of a
+    round; here it's the whole measurement.
+    """
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.operators.seenjoin import (
+        filter_unseen_bucket_pruned,
+    )
+
+    def urls_of(df):
+        return (
+            df.select(
+                F.concat(
+                    F.lit("https://host"),
+                    F.pmod(F.xxhash64("id"), F.lit(5000)),
+                    F.lit(".example.com/p/"),
+                    F.col("id"),
+                ).alias("url"),
+                F.col("id"),
+            )
+            .withColumn("host", F.regexp_extract("url", r"^https://([^/]+)", 1))
+            .withColumn("host_hash", F.hash("host"))
+        )
+
+    points = []
+    for n in seen_sizes:
+        d = tempfile.mkdtemp(prefix=f"bench_seenjoin_{n}_")
+        seen = (
+            urls_of(spark.range(n))
+            .withColumn("added_round", F.lit(0))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod("host_hash", F.lit(n_buckets)))
+            .drop("id")
+        )
+        seen.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(d)
+        # half the links are already seen, half fresh
+        links = (
+            urls_of(spark.range(n - n_links // 2, n + n_links // 2))
+            .withColumn("depth", F.lit(1))
+            .drop("id")
+            .persist()
+        )
+        links.count()
+
+        def shuffle_path():
+            return links.join(
+                spark.read.parquet(d).select("url"), "url", "left_anti"
+            ).count()
+
+        def bucket_path():
+            return filter_unseen_bucket_pruned(
+                links, [d], [], n_buckets, current_round=1
+            ).count()
+
+        timings = {}
+        counts = {}
+        for name, fn in (("shuffle", shuffle_path), ("bucket_pruned", bucket_path)):
+            best, cnt = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cnt = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            counts[name] = cnt
+        links.unpersist()
+        assert counts["shuffle"] == counts["bucket_pruned"], counts
+        points.append(
+            {
+                "seen_rows": n,
+                "links": n_links,
+                "unseen_found": counts["shuffle"],
+                "shuffle_sec": timings["shuffle"],
+                "bucket_pruned_sec": timings["bucket_pruned"],
+                "speedup": round(timings["shuffle"] / timings["bucket_pruned"], 2),
+            }
+        )
+    return {"n_buckets": n_buckets, "points": points}
+
+
+def run_prod_family(spark, sf_dir: str) -> dict:
+    """The PRODUCTION hash-family variants of the two LSH queries.
+
+    queries() pins hash_family='md5' so the DuckDB oracle can replay
+    signatures exactly; production default is xxhash64 (8-byte JVM
+    shuffle keys instead of 32-char hex strings).  Benching both
+    keeps the oracle tax visible instead of letting the two slowest
+    bench rows misrepresent the scale path (VERDICT r2 'wrong' #4).
+    """
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
+    from crypto_crawler_rs_spark.operators.similarity import cosine_topk_lsh
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def minhash():
+        return minhash_lsh_pairs(
+            docs, k=3, n_hashes=32, n_bands=16, threshold=0.05,
+            hash_family="xxhash64",
+        ).count()
+
+    def ann():
+        return cosine_topk_lsh(
+            emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_planes=6,
+            n_tables=8, hash_family="xxhash64",
+        ).count()
+
+    out = {}
+    for name, fn in (("dedup_minhash_lsh_prod", minhash), ("ann_cosine_lsh_prod", ann)):
+        best = None
+        for _ in range(2):  # min-of-2, same method as run_queries
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -252,8 +411,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frontier-only", action="store_true")
     ap.add_argument("--kernel-only", action="store_true")
+    ap.add_argument("--seenjoin-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--big", action="store_true")
+    ap.add_argument(
+        "--scale-config", action="store_true",
+        help="frontier runs with bucket_pruned + sharded probe + sized bloom",
+    )
+    ap.add_argument(
+        "--frontier-repeats", type=int, default=3,
+        help="default-mode frontier repetitions (mean±spread bounds noise)",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n", type=int, default=20_000_000, help="kernel candidate count")
     args = ap.parse_args()
@@ -269,9 +437,17 @@ def main():
         print(json.dumps(res))
         return
 
+    if args.seenjoin_only:
+        spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = run_seenjoin(spark)
+        spark.stop()
+        print(json.dumps(res))
+        return
+
     if args.frontier_only:
         spark = _spark(args.cpus)
-        res = run_frontier(spark, big=args.big)
+        res = run_frontier(spark, big=args.big, scale_config=args.scale_config)
         spark.stop()
         print(json.dumps(res))
         return
@@ -300,6 +476,14 @@ def main():
         pipeline = {
             c: sub(["--frontier-only", "--big", "--cpus", str(c)]) for c in (8, 32)
         }
+        # the declared 10^10 config (bucket_pruned + sharded probe +
+        # sized bloom) side-by-side with the default at 32 cores — the
+        # recorded evidence that the scale path wins once the seen set
+        # is large (VERDICT r2 next-8)
+        pipeline_scale = sub(
+            ["--frontier-only", "--big", "--scale-config", "--cpus", "32"]
+        )
+        seenjoin = sub(["--seenjoin-only", "--cpus", "32"])
         k = {c: kernel[c]["urls_per_sec"] for c in kernel}
         p = {c: pipeline[c]["urls_per_sec"] for c in pipeline}
         summary = {
@@ -308,9 +492,12 @@ def main():
             "kernel_eff_8_to_32": round(k[32] / (k[8] * 4), 3),
             "pipeline_urls_per_sec": p,
             "pipeline_eff_8_to_32": round(p[32] / (p[8] * 4), 3),
+            "pipeline_scale_config_32": pipeline_scale["urls_per_sec"],
             "kernel_detail": kernel,
             "kernel_100m": kernel_100m,
             "pipeline_detail": pipeline,
+            "pipeline_scale_detail": pipeline_scale,
+            "seenjoin_crossover": seenjoin,
         }
         print(json.dumps(summary))
         _write_baseline_md(summary)
@@ -318,15 +505,28 @@ def main():
 
     spark = _spark(args.cpus)
     queries = run_queries(spark, sf_dir)
-    frontier = run_frontier(spark)
+    prod_family = run_prod_family(spark, sf_dir)
+    # the composite frontier number wiggles ~5% run-to-run on shared
+    # infra (VERDICT r2 'wrong' #5): repeat and report mean ± spread
+    # so noise is distinguishable from a real regression
+    runs = [run_frontier(spark) for _ in range(max(1, args.frontier_repeats))]
     spark.stop()
+    tps = [r["urls_per_sec"] for r in runs]
+    frontier = dict(runs[0])
+    frontier["urls_per_sec_runs"] = tps
+    frontier["urls_per_sec_mean"] = round(sum(tps) / len(tps), 1)
+    frontier["urls_per_sec_spread_pct"] = round(
+        100.0 * (max(tps) - min(tps)) / max(min(tps), 1), 1
+    )
     print(
         json.dumps(
             {
                 "metric": "frontier_urls_per_sec",
-                "value": frontier["urls_per_sec"],
+                "value": frontier["urls_per_sec_mean"],
                 "unit": "sec",
                 "queries": queries,
+                "queries_method": "min of 2 runs per query (steady-state)",
+                "queries_prod_family": prod_family,
                 "sf": sf_dir,
                 "frontier": frontier,
                 "query_diff_vs_prev": diff_queries(queries),
@@ -335,9 +535,19 @@ def main():
     )
 
 
+def _seenjoin_rows(summary: dict) -> str:
+    pts = summary["seenjoin_crossover"]["points"]
+    return "\n".join(
+        f"| {p['seen_rows']:,} | {p['shuffle_sec']} | "
+        f"{p['bucket_pruned_sec']} | {p['speedup']}x |"
+        for p in pts
+    ) + "\n"
+
+
 def _write_baseline_md(summary: dict):
     kd = summary["kernel_detail"]
     pd_ = summary["pipeline_detail"]
+    ps = summary["pipeline_scale_detail"]
     md = f"""# BENCH/BASELINE — measured numbers (sandbox)
 
 Scaling evidence for the BASELINE.json north-rule criterion
@@ -389,10 +599,19 @@ a machine ceiling, not an engine property.
 text extraction + seen/bloom maintenance + per-round atomic snapshot
 commits.  (`python bench.py --frontier-only --big --cpus N`)
 
-| cores | URLs scheduled+deduped/sec | wall (s) | scheduled | links deduped |
-|---|---|---|---|---|
-| 8  | {pd_[8]['urls_per_sec']} | {pd_[8]['wall_sec']} | {pd_[8]['scheduled']} | {pd_[8]['links_deduped']} |
-| 32 | {pd_[32]['urls_per_sec']} | {pd_[32]['wall_sec']} | {pd_[32]['scheduled']} | {pd_[32]['links_deduped']} |
+| cores | config | URLs scheduled+deduped/sec | wall (s) | scheduled | links deduped |
+|---|---|---|---|---|---|
+| 8  | default | {pd_[8]['urls_per_sec']} | {pd_[8]['wall_sec']} | {pd_[8]['scheduled']} | {pd_[8]['links_deduped']} |
+| 32 | default | {pd_[32]['urls_per_sec']} | {pd_[32]['wall_sec']} | {pd_[32]['scheduled']} | {pd_[32]['links_deduped']} |
+| 32 | scale (bucket_pruned + sharded probe + sized bloom) | {ps['urls_per_sec']} | {ps['wall_sec']} | {ps['scheduled']} | {ps['links_deduped']} |
+
+The scale config is the declared 10^10 shape: exact seen membership
+by bucket-pruned file reads (zero seen-side shuffle,
+operators/seenjoin.py with vectorized pd.Index membership), bloom
+probing by partition-aligned mmap (no whole-filter broadcast), filter
+sized by expected cardinality.  Its payoff grows with seen-set size —
+the default path re-shuffles the ENTIRE seen set every round, the
+scale path reads only each task's bucket files.
 
 Pipeline efficiency 8 -> 32: {summary['pipeline_eff_8_to_32']}.  Each
 round carries a fixed serial term (driver planning for ~8 jobs,
@@ -400,6 +619,23 @@ manifest commit, bloom persist ~ a few seconds) that Amdahl-caps
 small-corpus rounds; at the target 10^10-URL scale a round schedules
 10^7+ URLs and the same serial term is noise.  The kernel table above
 isolates the per-round parallel work and is the number that scales.
+
+### 2.5 Seen anti-join crossover (isolated)
+
+The recurring per-round scale cost: exact unseen check of a
+200k-link batch against a growing seen set — `left_anti` (shuffles
+the seen set) vs bucket-pruned membership (reads only each task's
+bucket files; vectorized pd.Index probe).  Best of 2 per point
+(`python bench.py --seenjoin-only`):
+
+| seen rows | shuffle (s) | bucket_pruned (s) | speedup |
+|---|---|---|---|
+{_seenjoin_rows(summary)}
+The bucket path's advantage grows with the seen/links ratio — at
+10^10 seen rows the shuffle path moves the whole table through the
+network every round, the bucket path stays O(links + touched-bucket
+files).  (r2 measured a TIE at 1M with the per-row Python probe;
+the vectorized probe moved the crossover below it.)
 
 ## 3. Reference baseline
 

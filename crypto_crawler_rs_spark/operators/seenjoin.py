@@ -12,18 +12,21 @@ partition_by), links repartition by the same expression, and each
 task reads ONLY its buckets' directories (``bucket=K/``) to do an
 exact in-memory membership check.
 
+Tombstones (forget/unsubscribe, U3) are ALSO bucket-partitioned and
+applied executor-side inside the per-bucket load — nothing about the
+seen set ever reaches the driver (a deletion-heavy crawl previously
+grew a driver-side dict shipped in every task closure).
+
+Membership is fully vectorized: each bucket's surviving urls become a
+cached ``pd.Index`` whose hash table is built once and reused across
+batches (``get_indexer`` — no per-row Python).
+
 Memory model: one bucket's url set must fit a task — size
 ``n_buckets >= total_urls / ~3M`` (at 10^10 urls: 4096 buckets ≈
 2.4M urls/bucket ≈ 200 MB of strings per task, streamed per
 partition).  The shuffle-based path remains the default and the
 semantics authority; equality is pinned by the e2e oracle tests with
 ``seen_anti_join='bucket_pruned'``.
-
-Crossover (measured, 1M-page corpus, 32 cores): at ~1M seen rows the
-two modes tie (40s vs 42s per 4 rounds — python set membership
-offsets the saved shuffle).  The mode pays off when the seen set
-DWARFS the per-round links (10^9+ rows), where re-shuffling it every
-round is minutes of cluster time; below that, keep the default.
 """
 
 from __future__ import annotations
@@ -35,18 +38,19 @@ from pyspark.sql import functions as F
 def filter_unseen_bucket_pruned(
     links: DataFrame,
     seen_paths: list[str],
-    tomb_rounds: dict,
+    tomb_paths: list[str],
     n_buckets: int,
     current_round: int,
     out_cols: tuple = ("url", "host", "depth"),
 ) -> DataFrame:
     """Rows of ``links`` whose url is NOT in the seen set.
 
-    ``links`` must carry ``url`` and ``host_hash``.  ``tomb_rounds``
-    maps url -> latest tombstone round; a seen row survives iff
-    ``added_round > tomb_round`` OR it was added THIS round
-    (``added_round == current_round`` — the current delta is exempt
-    from tombstones, mirroring the shuffle path's
+    ``links`` must carry ``url`` and ``host_hash``.  ``tomb_paths``
+    are tombstone delta roots (url, tomb_round), bucket-partitioned
+    like the seen deltas; a seen row survives iff
+    ``added_round > max(tomb_round)`` for its url OR it was added
+    THIS round (``added_round == current_round`` — the current delta
+    is exempt from tombstones, mirroring the shuffle path's
     ``seen ∪ current_delta`` construction).
     """
     part = links.withColumn(
@@ -60,39 +64,80 @@ def filter_unseen_bucket_pruned(
         import os
 
         import numpy as np
+        import pandas as pd
         import pyarrow.parquet as pq
 
-        cache: dict[int, set] = {}
+        cache: dict[int, "pd.Index"] = {}
+        legacy_tomb: list = []  # lazily-loaded non-partitioned roots
 
-        def load(bucket: int) -> set:
-            seen: set = set()
-            for p in seen_paths:
+        def read_bucket(paths: list[str], bucket: int, columns: list[str]):
+            frames = []
+            for p in paths:
                 d = os.path.join(p, f"bucket={bucket}")
-                if not os.path.isdir(d):
-                    continue
-                t = pq.read_table(d, columns=["url", "added_round"])
-                urls = t.column("url").to_pylist()
-                if tomb_rounds:
-                    rounds = t.column("added_round").to_pylist()
-                    for u, r in zip(urls, rounds):
-                        tr = tomb_rounds.get(u)
-                        if tr is None or r > tr or r == current_round:
-                            seen.add(u)
-                else:
-                    seen.update(urls)
-            return seen
+                if os.path.isdir(d):
+                    frames.append(pq.read_table(d, columns=columns).to_pandas())
+            return frames
+
+        def tomb_frame(bucket: int):
+            frames = read_bucket(tomb_paths, bucket, ["url", "tomb_round"])
+            # legacy compat: tombstones written before bucket_pruned
+            # mode have no bucket dirs — read them whole, once per
+            # task (urls of other buckets simply never match)
+            if not legacy_tomb:
+                whole = []
+                for p in tomb_paths:
+                    has_bucket_dirs = any(
+                        e.startswith("bucket=") for e in os.listdir(p)
+                    ) if os.path.isdir(p) else False
+                    if not has_bucket_dirs:
+                        t = pq.read_table(p, columns=["url", "tomb_round"])
+                        if t.num_rows:
+                            whole.append(t.to_pandas())
+                legacy_tomb.append(
+                    pd.concat(whole, ignore_index=True) if whole else None
+                )
+            if legacy_tomb[0] is not None:
+                frames.append(legacy_tomb[0])
+            if not frames:
+                return None
+            t = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            return t.groupby("url", sort=False)["tomb_round"].max()
+
+        def load(bucket: int) -> "pd.Index":
+            # no tombstones -> only the url column is ever consulted
+            cols = ["url", "added_round"] if tomb_paths else ["url"]
+            frames = read_bucket(seen_paths, bucket, cols)
+            if not frames:
+                return pd.Index([], dtype=object)
+            seen = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            tomb = tomb_frame(bucket) if tomb_paths else None
+            if tomb is not None and len(tomb):
+                tr = seen["url"].map(tomb)
+                keep = (
+                    tr.isna()
+                    | (seen["added_round"] > tr)
+                    | (seen["added_round"] == current_round)
+                )
+                seen = seen[keep]
+            # unique Index: its hash table is built on first
+            # get_indexer and REUSED across every batch of this task
+            return pd.Index(pd.unique(seen["url"].to_numpy()))
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            mask = np.empty(len(pdf), dtype=bool)
             buckets = pdf["_bucket"].to_numpy()
             urls = pdf["url"].to_numpy()
-            for i, (b, u) in enumerate(zip(buckets, urls)):
-                s = cache.get(b)
-                if s is None:
-                    s = cache[b] = load(int(b))
-                mask[i] = u not in s
+            mask = np.empty(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                sel = buckets == b
+                idx = cache.get(int(b))
+                if idx is None:
+                    idx = cache[int(b)] = load(int(b))
+                if len(idx) == 0:
+                    mask[sel] = True
+                else:
+                    mask[sel] = idx.get_indexer(urls[sel]) == -1
             yield pdf.loc[mask, cols]
 
     return part.mapInPandas(run, schema=out_schema)

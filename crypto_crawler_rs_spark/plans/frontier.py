@@ -141,10 +141,16 @@ class FrontierScheduler:
         host_policy: DataFrame,
         state_dir: str,
         config: FrontierConfig | None = None,
+        store: StateStore | None = None,
     ):
         self.spark = spark
         self.cfg = config or FrontierConfig()
-        self.store = StateStore(spark, state_dir)
+        # the engine talks ONLY to the StateStore contract (write /
+        # read / read_union / round_dir / manifest commit) — inject a
+        # different adapter (Iceberg catalog, alternate layout) and
+        # the round loop is unchanged (tests/test_state_contract.py
+        # proves it with a layout-divergent adapter)
+        self.store = store or StateStore(spark, state_dir)
         # pages.url is canonicalized once up-front so the fetch join
         # key matches engine-canonical candidate urls.
         # scale: pages is the 100 TB table — this projection prunes to
@@ -331,7 +337,9 @@ class FrontierScheduler:
     def _read_seen(self, manifest: dict) -> DataFrame | None:
         """Current seen set = union of deltas minus tombstones (U3)."""
         seen = self.store.read_union(manifest["seen"])
-        tombs = self.store.read_union(manifest.get("tombstones", []))
+        tombs = self.store.read_union(
+            manifest.get("tombstones", []), columns=["url", "tomb_round"]
+        )
         if seen is not None and tombs is not None:
             seen = self._apply_tombstones(seen, tombs)
         return seen
@@ -359,7 +367,19 @@ class FrontierScheduler:
             # re-crawl re-enters the seen set normally
             .withColumn("tomb_round", F.lit(rnd).cast("int"))
         )
-        tpath = self.store.write(tomb, rnd, "seen_tombstone")
+        if self._seen_partition_by:
+            # bucket-partition tombstones like seen deltas so the
+            # bucket_pruned anti-join applies them executor-side with
+            # per-bucket file pruning (operators/seenjoin.py)
+            tomb = tomb.withColumn(
+                "bucket",
+                F.pmod(
+                    F.hash(host_col(F.col("url"))), F.lit(self.cfg.n_seen_buckets)
+                ),
+            )
+        tpath = self.store.write(
+            tomb, rnd, "seen_tombstone", partition_by=self._seen_partition_by
+        )
         new_manifest = dict(manifest)
         new_manifest["tombstones"] = manifest.get("tombstones", []) + [tpath]
         if self.cfg.bloom_counting:
@@ -692,21 +712,13 @@ class FrontierScheduler:
             # read only their bucket's seen files (operators/seenjoin)
             from ..operators.seenjoin import filter_unseen_bucket_pruned
 
-            tombs = self.store.read_union(manifest.get("tombstones", []))
-            tomb_rounds = (
-                {}
-                if tombs is None
-                else {
-                    r["url"]: r["tr"]
-                    for r in tombs.groupBy("url")
-                    .agg(F.max("tomb_round").alias("tr"))
-                    .collect()
-                }
-            )
+            # tombstones are bucket-partitioned deltas applied
+            # executor-side per bucket — no driver-side dict shipped
+            # in task closures (deletion-heavy crawls grow unbounded)
             confirmed_new = filter_unseen_bucket_pruned(
                 links.filter(F.col("maybe_seen")),
                 manifest["seen"] + [seen_path],
-                tomb_rounds,
+                manifest.get("tombstones", []),
                 cfg.n_seen_buckets,
                 current_round=rnd,
             )
@@ -818,7 +830,7 @@ class FrontierScheduler:
         tomb_paths = manifest.get("tombstones", [])
         if len(seen_paths) >= cfg.compact_seen_every:
             compact = self.store.read_union(seen_paths)
-            tombs = self.store.read_union(tomb_paths)
+            tombs = self.store.read_union(tomb_paths, columns=["url", "tomb_round"])
             if tombs is not None:
                 compact = self._apply_tombstones(compact, tombs)
             compact = compact.repartition(

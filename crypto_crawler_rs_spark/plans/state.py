@@ -103,16 +103,52 @@ class StateStore:
     def read(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
 
-    def read_union(self, paths: list[str]) -> DataFrame | None:
+    # -- contract ------------------------------------------------------
+    # The engine depends ONLY on this surface: read_manifest / commit /
+    # round_dir / write / read / read_union.  Any adapter honoring it
+    # (Iceberg catalog tables, an object store, a different directory
+    # scheme) drops in without touching the round loop — proven by
+    # FlatStateStore + tests/test_state_contract.py.
+
+    def read_union(
+        self, paths: list[str], columns: list[str] | None = None
+    ) -> DataFrame | None:
+        """Union of per-path reads.  ``columns``: project each root to
+        these columns before the union — roots written before/after a
+        layout change (e.g. tombstones gaining a ``bucket`` partition
+        column) then still union cleanly."""
         if not paths:
             return None
         if len(paths) == 1:
-            return self.spark.read.parquet(paths[0])
+            df = self.spark.read.parquet(paths[0])
+            return df.select(*columns) if columns else df
         # per-path reads unioned: a multi-path read over hive-
         # partitioned roots (bucket=K dirs) trips partition-discovery
         # conflict detection; per-root reads infer each layout cleanly
         dfs = [self.spark.read.parquet(p) for p in paths]
+        if columns:
+            dfs = [df.select(*columns) for df in dfs]
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df)
         return out
+
+
+class FlatStateStore(StateStore):
+    """Contract-compliance twin of :class:`StateStore` with a
+    DELIBERATELY different physical layout — flat sibling directories
+    (``r000007--fetched``) instead of nested ``rounds/000007/fetched``,
+    and a differently-named manifest file.
+
+    It exists to prove the engine is storage-agnostic: the frontier
+    round loop must produce byte-identical results through any adapter
+    honoring the read/write/commit surface (the Iceberg-swap claim in
+    this module's docstring, exercised by tests/test_state_contract.py
+    rather than asserted)."""
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "snapshot-manifest.json")
+
+    def round_dir(self, rnd: int, name: str) -> str:
+        return os.path.join(self.root, f"r{rnd:06d}--{name}")

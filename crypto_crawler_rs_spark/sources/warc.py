@@ -11,8 +11,16 @@ Scale model: Spark's binaryFile source assigns one file per task —
 Common Crawl ships ~1 GB warc files, so file-level parallelism is
 the natural (and CC-standard) partitioning.  Record parsing happens
 executor-side inside mapInPandas; nothing but file paths ever reaches
-the driver.  The writer exists for tests and for re-sharding small
-corpora.
+the driver.
+
+Memory model: CC gzips each record as its OWN gzip member (members
+concatenate), precisely so consumers can stream.  The reader honors
+that: records are decompressed member-by-member through a streaming
+``gzip.GzipFile`` and emitted in bounded Arrow batches — a ~1 GB
+archive never inflates its ~4-5 GB of content in task memory at
+once; peak extra memory is one record plus one output batch
+(``_BATCH_BYTES``).  The writer exists for tests and for re-sharding
+small corpora.
 """
 
 from __future__ import annotations
@@ -26,14 +34,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 
+# flush an output batch once its html payloads reach this size — keeps
+# task memory bounded regardless of archive size
+_BATCH_BYTES = 64 << 20
+_BATCH_ROWS = 10_000
 
-def write_warc(records: list[tuple[str, str, bytes]], path: str, compress: bool = False) -> None:
+
+def write_warc(
+    records: list[tuple[str, str, bytes]], path: str, compress: bool | str = False
+) -> None:
     """Write (url, iso_ts, html_bytes) records as a WARC response
-    file.  ``compress`` gzips the whole file (single member — the
-    reader handles both; per-record members are what CC really ships,
-    also handled since gzip.decompress concatenates members)."""
-    buf = io.BytesIO()
-    for url, ts, html in records:
+    file.  ``compress``: False = plain; True/'file' = one gzip member
+    for the whole file; 'members' = one gzip member PER RECORD — what
+    Common Crawl actually ships (enables range reads + streaming)."""
+
+    def record_bytes(url: str, ts: str, html: bytes) -> bytes:
         headers = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
@@ -42,58 +57,88 @@ def write_warc(records: list[tuple[str, str, bytes]], path: str, compress: bool 
             f"Content-Length: {len(html)}\r\n"
             "Content-Type: text/html\r\n"
         ).encode("utf-8")
-        buf.write(headers + b"\r\n" + html + b"\r\n\r\n")
-    data = buf.getvalue()
-    if compress:
-        data = gzip.compress(data, mtime=0)
+        return headers + b"\r\n" + html + b"\r\n\r\n"
+
     with open(path, "wb") as f:
-        f.write(data)
+        if compress == "members":
+            for url, ts, html in records:
+                f.write(gzip.compress(record_bytes(url, ts, html), mtime=0))
+        else:
+            buf = io.BytesIO()
+            for url, ts, html in records:
+                buf.write(record_bytes(url, ts, html))
+            data = buf.getvalue()
+            if compress:
+                data = gzip.compress(data, mtime=0)
+            f.write(data)
+
+
+def iter_warc_stream(f) -> Iterator[tuple[dict, bytes]]:
+    """Walk (headers, body) records from a readable binary stream.
+    Content-Length-driven — no scanning inside payloads, so html
+    containing '\\r\\n\\r\\n' parses fine.  Only one record's body is
+    ever materialized."""
+    while True:
+        line = f.readline()
+        while line in (b"\r\n", b"\n"):
+            line = f.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {line!r}")
+        hdrs: dict[str, str] = {}
+        while True:
+            raw = f.readline()
+            if raw in (b"\r\n", b"\n", b""):
+                break
+            text = raw.decode("utf-8").rstrip("\r\n")
+            if ": " in text:
+                k, v = text.split(": ", 1)
+                hdrs[k] = v
+        length = int(hdrs["Content-Length"])
+        body = f.read(length)
+        if len(body) < length:
+            raise ValueError("truncated WARC record body")
+        yield hdrs, body
 
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Walk (headers, body) records of one (decompressed) WARC file.
-    Content-Length-driven — no scanning inside payloads, so html
-    containing '\\r\\n\\r\\n' parses fine."""
-    i = 0
-    n = len(data)
-    while i < n:
-        while data.startswith(b"\r\n", i):
-            i += 2
-        if i >= n:
-            break
-        he = data.find(b"\r\n\r\n", i)
-        if he < 0:
-            raise ValueError(f"truncated WARC header block at offset {i}")
-        lines = data[i:he].decode("utf-8").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"bad WARC version line: {lines[0]!r}")
-        hdrs = {}
-        for line in lines[1:]:
-            if ": " in line:
-                k, v = line.split(": ", 1)
-                hdrs[k] = v
-        length = int(hdrs["Content-Length"])
-        body_start = he + 4
-        if body_start + length > n:
-            raise ValueError("truncated WARC record body")
-        yield hdrs, data[body_start : body_start + length]
-        i = body_start + length
+    """(headers, body) records of one decompressed WARC byte blob —
+    thin wrapper over :func:`iter_warc_stream` for in-memory use."""
+    yield from iter_warc_stream(io.BytesIO(data))
+
+
+def _open_warc(data: bytes):
+    """Readable stream over (possibly gzipped) warc bytes.  Gzip is
+    decompressed INCREMENTALLY: ``gzip.GzipFile`` walks concatenated
+    members one at a time (the CC per-record-member layout), so the
+    archive's inflated content never exists in memory at once."""
+    if data[:2] == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(data)))
+    return io.BytesIO(data)
 
 
 def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """Read .warc / .warc.gz files into (url, warc_ts, html) — the
     engine's pages shape.  Only ``response`` records with a target
-    URI are emitted."""
+    URI are emitted, in bounded-size Arrow batches."""
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        rows: dict[str, list] = {"url": [], "warc_ts": [], "html": []}
+        pending = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal rows, pending
+            out = pd.DataFrame(rows)
             rows = {"url": [], "warc_ts": [], "html": []}
+            pending = 0
+            return out
+
+        for pdf in batches:
             for content in pdf["content"]:
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                for hdrs, body in iter_warc_records(data):
+                stream = _open_warc(bytes(content))
+                for hdrs, body in iter_warc_stream(stream):
                     if hdrs.get("WARC-Type") != "response":
                         continue
                     uri = hdrs.get("WARC-Target-URI")
@@ -105,6 +150,10 @@ def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                     rows["url"].append(uri)
                     rows["warc_ts"].append(ts)
                     rows["html"].append(body)
-            yield pd.DataFrame(rows)
+                    pending += len(body)
+                    if pending >= _BATCH_BYTES or len(rows["url"]) >= _BATCH_ROWS:
+                        yield flush()
+        if rows["url"]:
+            yield flush()
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)

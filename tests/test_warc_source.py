@@ -29,6 +29,52 @@ def test_warc_roundtrip_with_crlf_payload(tmp_path):
     assert got[1][1] == b""
 
 
+def test_warc_per_record_gzip_members_stream(tmp_path):
+    """Common Crawl gzips each record as its own member; the reader
+    must walk members incrementally (never inflating the archive at
+    once) and yield identical records to the plain file."""
+    import gzip as _gzip
+    import io as _io
+
+    from crypto_crawler_rs_spark.sources.warc import iter_warc_stream
+
+    recs = [
+        (f"https://m.example.com/p/{i}", "2022-02-02T00:00:00Z",
+         f"<html><p>body {i} \r\n\r\n x</p></html>".encode())
+        for i in range(25)
+    ]
+    p = tmp_path / "m.warc.gz"
+    write_warc(recs, str(p), compress="members")
+    data = p.read_bytes()
+    # sanity: the file really is concatenated members (many magics)
+    assert data.count(b"\x1f\x8b\x08") >= len(recs)
+    stream = _io.BufferedReader(_gzip.GzipFile(fileobj=_io.BytesIO(data)))
+    got = list(iter_warc_stream(stream))
+    assert [(h["WARC-Target-URI"], b) for h, b in got] == [
+        (u, b) for u, _, b in recs
+    ]
+
+
+def test_warc_batch_flush_bounds_memory(spark, tmp_path, monkeypatch):
+    """With a tiny batch cap the reader emits MANY Arrow batches per
+    archive (the 1 GB-archive memory bound) and the result is still
+    exactly the record set."""
+    import crypto_crawler_rs_spark.sources.warc as warcmod
+
+    monkeypatch.setattr(warcmod, "_BATCH_ROWS", 7)
+    recs = [
+        (f"https://b.example.com/p/{i}", "2023-03-03T00:00:00Z",
+         f"<html><p>{i}</p></html>".encode())
+        for i in range(40)
+    ]
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    write_warc(recs, str(wdir / "a.warc.gz"), compress="members")
+    got = warcmod.pages_from_warc(spark, str(wdir)).toPandas()
+    assert sorted(got["url"]) == sorted(u for u, _, _ in recs)
+    assert {bytes(h) for h in got["html"]} == {b for _, _, b in recs}
+
+
 def test_warc_crawl_equals_dataframe_crawl(spark, tmp_path):
     corpus = gen_corpus(n_pages=60, n_hosts=4, n_seeds=6, seed=37)
     sdfs = corpus_to_spark(spark, corpus)
@@ -40,8 +86,10 @@ def test_warc_crawl_equals_dataframe_crawl(spark, tmp_path):
     ]
     wdir = tmp_path / "warc"
     wdir.mkdir()
-    write_warc(recs[: len(recs) // 2], str(wdir / "a.warc"))
-    write_warc(recs[len(recs) // 2 :], str(wdir / "b.warc.gz"), compress=True)
+    third = len(recs) // 3
+    write_warc(recs[:third], str(wdir / "a.warc"))
+    write_warc(recs[third : 2 * third], str(wdir / "b.warc.gz"), compress=True)
+    write_warc(recs[2 * third :], str(wdir / "c.warc.gz"), compress="members")
     pages = pages_from_warc(spark, str(wdir))
     assert pages.count() == len(recs)
 
