@@ -72,6 +72,71 @@ def streaming_url_dedup(pages: DataFrame, watermark: str = "24 hours") -> DataFr
     )
 
 
+def rate_requests(
+    spark: SparkSession,
+    rows_per_second: int = 200,
+    n_hosts: int = 4,
+    num_partitions: int = 2,
+) -> DataFrame:
+    """LIVE unbounded ingest: the built-in rate source stands in for
+    the reference's websocket firehose (one row per frame), mapped to
+    deterministic synthetic fetch requests — messy urls so the
+    canonicalizer runs, value-derived hosts/priorities so semantics
+    are a pure function of ``value`` (replayable across restarts: the
+    rate source checkpoints its offsets and resumes the value
+    sequence)."""
+    r = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    h = F.pmod("value", F.lit(n_hosts))
+    return r.select(
+        F.col("timestamp").alias("event_ts"),
+        "value",
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("HTTPS://Host"), h, F.lit(".Example.COM:443/P/"), F.col("value"),
+            F.lit("?b=2&a=1"),
+        ).alias("raw_url"),
+        F.pmod(F.xxhash64("value"), F.lit(1000)).alias("priority"),
+    )
+
+
+def run_rate_ingest(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    budget: int = 5,
+    rows_per_second: int = 200,
+    n_hosts: int = 4,
+):
+    """Rate-source variant of :func:`run_streaming_ingest`: live
+    micro-batches -> canonicalize -> the SAME stateful per-host
+    budget gate as the batch pop path (streaming/stateful.py) ->
+    append parquet.  Returns the StreamingQuery (caller stops it);
+    restarting with the same checkpoint RESUMES both the rate-source
+    offsets and the gate's GroupState — a saturated host stays
+    saturated across restarts (pinned by
+    tests/test_rate_ingest.py)."""
+    from .stateful import budget_gate
+
+    req = (
+        rate_requests(spark, rows_per_second, n_hosts)
+        .withColumn("url", canonicalize_udf(F.col("raw_url")))
+        .select("host", "url", "priority")
+    )
+    gated = budget_gate(req, budget=budget)
+    return (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     landing_dir: str,
