@@ -377,8 +377,13 @@ class FrontierScheduler:
                     F.hash(host_col(F.col("url"))), F.lit(self.cfg.n_seen_buckets)
                 ),
             )
+        # unique name per forget() call: two forgets within one round
+        # must not overwrite each other's delta (the manifest would
+        # list the same path twice and the first batch would silently
+        # stay "seen")
+        tname = f"seen_tombstone_{len(manifest.get('tombstones', []))}"
         tpath = self.store.write(
-            tomb, rnd, "seen_tombstone", partition_by=self._seen_partition_by
+            tomb, rnd, tname, partition_by=self._seen_partition_by
         )
         new_manifest = dict(manifest)
         new_manifest["tombstones"] = manifest.get("tombstones", []) + [tpath]

@@ -80,7 +80,7 @@ class StateStore:
             # readers prune to one bucket's files without a shuffle
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
-        if partition_by and not self._has_parquet_files(path):
+        if partition_by and not self._readable(path):
             # an EMPTY partitioned write emits zero data files (hive
             # layout has no dir to carry the schema), which breaks
             # every downstream read (spark unable-to-infer-schema,
@@ -93,12 +93,19 @@ class StateStore:
             df.limit(0).write.mode("overwrite").parquet(path)
         return path
 
-    @staticmethod
-    def _has_parquet_files(path: str) -> bool:
-        for _dir, _sub, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _readable(self, path: str) -> bool:
+        """True iff a parquet read of ``path`` can infer a schema.
+        Probed THROUGH Spark (not a local os.walk) so the check holds
+        on any default filesystem — a driver-local directory scan
+        would see nothing on HDFS/S3 and the empty-write fallback
+        above would then TRUNCATE a non-empty remote delta."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.spark.read.parquet(path).schema
+            return True
+        except AnalysisException:
+            return False
 
     def read(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)

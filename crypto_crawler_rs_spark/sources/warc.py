@@ -89,12 +89,18 @@ def iter_warc_stream(f) -> Iterator[tuple[dict, bytes]]:
         hdrs: dict[str, str] = {}
         while True:
             raw = f.readline()
-            if raw in (b"\r\n", b"\n", b""):
+            if raw == b"":
+                raise ValueError(
+                    "truncated WARC header block (EOF before blank line)"
+                )
+            if raw in (b"\r\n", b"\n"):
                 break
             text = raw.decode("utf-8").rstrip("\r\n")
             if ": " in text:
                 k, v = text.split(": ", 1)
                 hdrs[k] = v
+        if "Content-Length" not in hdrs:
+            raise ValueError(f"WARC record missing Content-Length: {hdrs!r}")
         length = int(hdrs["Content-Length"])
         body = f.read(length)
         if len(body) < length:

@@ -175,3 +175,26 @@ def test_statestore_empty_partitioned_write_roundtrips(spark, tmp_path):
 
     t = pq.read_table(path)
     assert t.num_rows == 0
+
+
+def test_double_forget_same_round_keeps_both(spark, tmp_path):
+    """Two forget() calls within one round must write DISTINCT
+    tombstone deltas — the second used to overwrite the first's path
+    and the first batch silently stayed 'seen'."""
+    from crypto_crawler_rs_spark.plans.frontier import FrontierConfig, FrontierScheduler
+    from crypto_crawler_rs_spark.sources.fixtures import corpus_to_spark, gen_corpus
+
+    corpus = gen_corpus(n_pages=80, n_hosts=4, n_seeds=8, seed=67)
+    sdfs = corpus_to_spark(spark, corpus)
+    eng = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], str(tmp_path / "s"),
+        FrontierConfig(max_rounds=3, n_seen_buckets=4),
+    )
+    m = eng.run(seeds=sdfs["seeds"], max_rounds=3)
+    seen0 = sorted(r["url"] for r in eng.seen(m).select("url").collect())
+    va, vb = seen0[0], seen0[1]
+    m = eng.forget(spark.createDataFrame([(va,)], "url string"), m)
+    m = eng.forget(spark.createDataFrame([(vb,)], "url string"), m)
+    assert len(set(m["tombstones"])) == 2
+    seen_now = {r["url"] for r in eng.seen(m).select("url").collect()}
+    assert va not in seen_now and vb not in seen_now

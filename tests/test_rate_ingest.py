@@ -30,9 +30,15 @@ def test_rate_ingest_budget_and_checkpoint_resume(spark, tmp_path):
     budget, n_hosts = 3, 2
 
     def rows():
+        # read THROUGH spark: the parquet sink's _spark_metadata
+        # commit log excludes part files from a micro-batch that
+        # q.stop() interrupted before commit (run 2 replays it, and a
+        # raw pandas read would double-count those rows)
+        from pyspark.errors import AnalysisException
+
         try:
-            return pd.read_parquet(out)
-        except (OSError, ValueError):
+            return spark.read.parquet(out).toPandas()
+        except AnalysisException:
             return pd.DataFrame()
 
     # run 1: admit until every host saturates its lifetime budget

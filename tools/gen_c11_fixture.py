@@ -45,8 +45,27 @@ def main() -> None:
             return zlib.compress(raw)
         return raw
 
+    def sniff_unpack(b: bytes) -> str:
+        """Independent twin of the ENGINE's magic-byte dispatch
+        (payload.decompress_payload: gzip '1f 8b', zlib first byte
+        0x78, else raw).  Regeneration must fail loudly if a raw text
+        happens to START with a magic byte (e.g. 'x...' = 0x78) — it
+        would be mis-dispatched and silently poison the oracle."""
+        if b[:2] == b"\x1f\x8b":
+            return gzip.decompress(b).decode("utf-8")
+        if len(b) >= 1 and b[0] == 0x78:
+            return zlib.decompress(b).decode("utf-8")
+        return b.decode("utf-8")
+
     df["payload"] = [pack(int(i), t) for i, t in zip(df["doc_id"], df["text"])]
     df["expected"] = df["text"]
+    for i, (p, t) in enumerate(zip(df["payload"], df["expected"])):
+        got = sniff_unpack(p)
+        assert got == t, (
+            f"row {i}: dispatch roundtrip mismatch (raw text colliding "
+            f"with a compression magic byte?) — refusing to write a "
+            f"poisoned oracle fixture"
+        )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     df[["doc_id", "payload", "expected"]].to_parquet(OUT, index=False)
     print(f"wrote {len(df)} rows -> {OUT}")
