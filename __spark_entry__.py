@@ -825,6 +825,48 @@ def q_ann_cosine_lsh(spark, sf):
     )
 
 
+def q_ann_cosine_ivf(spark, sf):
+    """IVF-bucketed ANN (the coarse-quantizer scale path next to
+    LSH): fixed centroids (vec_id < 8, a pure function of the input
+    so the oracle replays every cell assignment), nprobe=2, exact
+    cosine re-rank of probed cells only."""
+    from crypto_crawler_rs_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=8, nprobe=2,
+        centroids=emb.filter(F.col("vec_id") < 8),
+    )
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental exact dedup against a PERSISTENT digest index —
+    the crawl's bucket-pruned seen check applied to document content
+    (operators/dedup.filter_new_digests): even doc_ids are the
+    already-ingested corpus (bucket-partitioned md5 index), odd ones
+    the incoming batch; only genuinely-new content survives.  Puts
+    the bucket-pruned membership OPERATOR itself under the DuckDB
+    oracle (the crawl e2e covers it only engine-vs-oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from crypto_crawler_rs_spark.operators.dedup import (
+        filter_new_digests,
+        write_digest_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "digest_idx_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+    )
+    write_digest_index(prior, idx, n_buckets=16)
+    return filter_new_digests(new, [idx], n_buckets=16)
+
+
 def q_mm1_media_features(spark, sf):
     """Multimodal-column pipeline as a graded row: documents become
     opaque media blobs (magic prefix + utf-8 bytes), then the REAL
@@ -940,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "dedup_incremental": q_dedup_incremental,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1350,6 +1394,41 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ann_cosine_lsh": _sql_ann_lsh(dim=64, k=5, n_planes=6, n_tables=8),
+        "ann_cosine_ivf": """
+            WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
+                       FROM embeddings),
+            u AS (SELECT vec_id,
+                         [x / sqrt(list_dot_product(ve, ve)) for x in ve] AS uv
+                  FROM v),
+            cent AS (SELECT vec_id AS cid, uv AS cuv FROM u WHERE vec_id < 8),
+            cs AS (SELECT u.vec_id, cent.cid,
+                          ROUND(list_dot_product(u.uv, cent.cuv), 6) AS s
+                   FROM u CROSS JOIN cent),
+            ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY s DESC, cid) AS crk
+                       FROM cs),
+            assign AS (SELECT vec_id AS neighbor_id, cid AS cell
+                       FROM ranked WHERE crk = 1),
+            probe AS (SELECT vec_id AS query_id, cid AS cell
+                      FROM ranked WHERE vec_id < 20 AND crk <= 2),
+            cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+                     FROM probe p JOIN assign a USING (cell)
+                     WHERE p.query_id <> a.neighbor_id),
+            scored AS (SELECT cand.query_id, cand.neighbor_id,
+                              list_dot_product(q.uv, c.uv) AS sim
+                       FROM cand
+                       JOIN u q ON q.vec_id = cand.query_id
+                       JOIN u c ON c.vec_id = cand.neighbor_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+            SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rk
+            FROM r WHERE rk <= 5""",
+        "dedup_incremental": """
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND md5(text) NOT IN (
+                  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""",
         "c13_hmac_sign": """
             SELECT e.event_id, x.sig
             FROM events e

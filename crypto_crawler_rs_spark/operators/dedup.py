@@ -409,3 +409,98 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def write_digest_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a bucket-partitioned content-digest index — the
+    document analog of the crawl's seen-set deltas (plans/state.py):
+    ``bucket = pmod(hash(md5(text)), n_buckets)`` hive dirs, so an
+    incremental dedup pass can prune to one bucket's files per task."""
+    (
+        docs.select(
+            F.col(id_col).alias("keeper_id"),
+            F.md5(F.col(text_col)).alias("digest"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("digest"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def filter_new_digests(
+    docs: DataFrame,
+    index_paths: list[str],
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL exact dedup: rows of ``docs`` whose text digest is
+    NOT in the persistent digest index — new content only, without
+    re-shuffling the ever-growing index each batch.
+
+    Same design as the crawl's bucket-pruned seen check
+    (operators/seenjoin.py): docs repartition by the index's bucket
+    key, each task reads ONLY its buckets' ``bucket=K/`` dirs and
+    probes a cached pd.Index (vectorized, hash table built once per
+    bucket).  At 10^10 indexed documents the plain ``left_anti``
+    re-shuffles the whole index every incremental batch; this path
+    stays O(batch + touched-bucket files).
+
+    Returns (id, text_md5) of the unseen rows."""
+    keyed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    ).withColumn("_bucket", F.pmod(F.hash("text_md5"), F.lit(n_buckets)))
+    part = keyed.repartition(n_buckets, F.col("_bucket"))
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in docs.schema.fields
+    )[id_col]
+    out_schema = f"{id_col} {id_type}, text_md5 string"
+
+    def run(batches):
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cache: dict[int, "pd.Index"] = {}
+
+        def load(bucket: int) -> "pd.Index":
+            frames = []
+            for p in index_paths:
+                d = os.path.join(p, f"bucket={bucket}")
+                if os.path.isdir(d):
+                    frames.append(
+                        pq.read_table(d, columns=["digest"]).to_pandas()
+                    )
+            if not frames:
+                return pd.Index([], dtype=object)
+            t = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            return pd.Index(pd.unique(t["digest"].to_numpy()))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buckets = pdf["_bucket"].to_numpy()
+            digests = pdf["text_md5"].to_numpy()
+            mask = np.empty(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                sel = buckets == b
+                idx = cache.get(int(b))
+                if idx is None:
+                    idx = cache[int(b)] = load(int(b))
+                if len(idx) == 0:
+                    mask[sel] = True
+                else:
+                    mask[sel] = idx.get_indexer(digests[sel]) == -1
+            yield pdf.loc[mask, [id_col, "text_md5"]]
+
+    return part.mapInPandas(run, schema=out_schema)

@@ -295,6 +295,97 @@ def _lsh_signatures_pandas(
     return out.mapInPandas(signatures, schema="_id long, table int, bucket string")
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the classic coarse-quantizer scale
+    path next to :func:`cosine_topk_lsh`:
+
+    1. a small fixed centroid set partitions the corpus into cells
+       (every vector joins its argmax-cosine centroid — ONE broadcast
+       join + map-side ``max_by``, corpus scanned once, no shuffle of
+       vectors);
+    2. each query probes only its ``nprobe`` closest cells;
+    3. exact cosine re-ranks the probed cells' members.
+
+    ``centroids``: any (id, vector) DataFrame — in production the
+    output of an offline k-means / sampling job.  Default: the
+    ``n_cells`` lowest-id corpus vectors, which keeps the quantizer a
+    pure function of the input so the SQL oracle replays every
+    assignment decision (the same determinism trade the LSH path
+    makes with md5 planes).  Ties on cell similarity break to the
+    LOWEST centroid id on both engine and oracle.
+
+    Scale model: |centroids| stays broadcastable (k-means coarse
+    books are 2^10..2^18 rows); candidate generation shuffles only
+    (cell, id) pairs; per-cell fanout is bounded by the cell size —
+    the skew guard is choosing enough cells, exactly like IVF-Flat in
+    FAISS.  Recall-vs-brute-force is pytest-pinned
+    (tests/test_round3_ops.py)."""
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_cells)
+    cents = with_unit_vectors(centroids, vec_col).select(
+        F.col(id_col).alias("cid"), F.col("_unit").alias("_cuv")
+    )
+
+    def cell_sims(df: DataFrame) -> DataFrame:
+        x = with_unit_vectors(df, vec_col).select(
+            F.col(id_col).alias("_id"), "_unit"
+        )
+        return x.join(F.broadcast(cents)).withColumn(
+            "_cs", F.round(_dot(F.col("_unit"), F.col("_cuv")), 6)
+        )
+
+    # corpus -> ONE cell each: max_by(cid, (sim, -cid)) aggregates
+    # map-side (no per-vector window sort over the big side)
+    assigned = (
+        cell_sims(corpus)
+        .groupBy("_id")
+        .agg(F.expr("max_by(cid, struct(_cs, -cid))").alias("cell"))
+        .select(F.col("_id").alias("neighbor_id"), "cell")
+    )
+    # queries -> nprobe cells (query side is small; window is fine)
+    wq = Window.partitionBy("_id").orderBy(F.col("_cs").desc(), F.col("cid").asc())
+    probed = (
+        cell_sims(queries)
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select(F.col("_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probed.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv")
+    )
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rk")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
