@@ -101,6 +101,19 @@ CHECKS = {
         [],
         "multimodal feature stage: Arrow batches, pruned scan",
     ),
+    # round 3 additions
+    "ann_cosine_ivf": (
+        [r"BroadcastNestedLoopJoin", r"HashAggregate"],
+        [r"CartesianProduct"],
+        "centroid book broadcast-streamed (bounded NLJ over n_cells rows); "
+        "cell assignment aggregates map-side; candidate/re-rank equi-joins",
+    ),
+    "dedup_incremental": (
+        [r"MapInPandas", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"Join", r"CartesianProduct"],
+        "persistent digest index NEVER enters the plan (no join): tasks "
+        "read only their bucket's index files",
+    ),
 }
 
 
