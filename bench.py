@@ -650,7 +650,10 @@ The bucket path's advantage grows with the seen/links ratio — at
 10^10 seen rows the shuffle path moves the whole table through the
 network every round, the bucket path stays O(links + touched-bucket
 files).  (r2 measured a TIE at 1M with the per-row Python probe;
-the vectorized probe moved the crossover below it.)
+the vectorized probe moved the crossover below it.)  Delta roots are
+immutable, so reused python workers additionally cache per-bucket
+arrow tables across rounds (`SPARK_GRAFT_SEENJOIN_CACHE_ROWS`,
+operators/seenjoin.py) — recurring rounds re-read only NEW deltas.
 
 ## 3. Reference baseline
 

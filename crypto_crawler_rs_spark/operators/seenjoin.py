@@ -31,8 +31,65 @@ semantics authority; equality is pinned by the e2e oracle tests with
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# -- worker-side immutable-delta cache ------------------------------
+# Delta roots are IMMUTABLE once a manifest references them
+# (plans/state.py write-then-commit), so per-(path, bucket) parquet
+# reads can be cached in the long-lived python worker across rounds:
+# round N+1 re-reads only its NEW delta, not the whole seen set —
+# that re-read is the recurring I/O term of the 10^10 crawl.  The
+# cache is bounded (LRU by rows) and keyed by path, so compaction
+# (which writes NEW roots) naturally ages old entries out.  Negative
+# entries (missing bucket dir) are safe for the same immutability
+# reason.  Requires spark.python.worker.reuse (the default).
+_PATH_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_PATH_CACHE_ROWS = 0
+# row budget per worker process; 0 disables caching entirely
+# (env knob so deployments can size it to executor memory)
+import os as _os  # noqa: E402
+
+_PATH_CACHE_MAX_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_SEENJOIN_CACHE_ROWS", 5_000_000)
+)
+
+
+def _read_bucket_part(path: str, bucket: int, columns: tuple):
+    """Cached read of one delta root's ``bucket=K`` dir — returns
+    per-column numpy arrays, or None when the dir doesn't exist.
+
+    The cache holds ARROW tables, not numpy object arrays: millions
+    of long-lived python str objects would make every CPython gen-2
+    GC walk them for the worker's whole lifetime, taxing ALL
+    subsequent tasks (measured ~12% on the 1M-page crawl).  Arrow
+    buffers are GC-invisible; the numpy conversion happens per use
+    and its strings die young."""
+    global _PATH_CACHE_ROWS
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (path, bucket, columns)
+    hit = _PATH_CACHE.get(key)
+    if hit is not None:
+        _PATH_CACHE.move_to_end(key)
+        t = hit[0]
+    else:
+        d = os.path.join(path, f"bucket={bucket}")
+        t = pq.read_table(d, columns=list(columns)) if os.path.isdir(d) else None
+        if _PATH_CACHE_MAX_ROWS > 0:
+            rows = t.num_rows if t is not None else 0
+            _PATH_CACHE[key] = (t, rows)
+            _PATH_CACHE_ROWS += rows
+            while _PATH_CACHE_ROWS > _PATH_CACHE_MAX_ROWS and len(_PATH_CACHE) > 1:
+                _k, (_v, _rows) = _PATH_CACHE.popitem(last=False)
+                _PATH_CACHE_ROWS -= _rows
+    if t is None:
+        return None
+    return tuple(t.column(c).to_numpy(zero_copy_only=False) for c in columns)
 
 
 def filter_unseen_bucket_pruned(
@@ -70,16 +127,22 @@ def filter_unseen_bucket_pruned(
         cache: dict[int, "pd.Index"] = {}
         legacy_tomb: list = []  # lazily-loaded non-partitioned roots
 
-        def read_bucket(paths: list[str], bucket: int, columns: list[str]):
-            frames = []
+        def read_bucket(paths: list[str], bucket: int, columns: tuple):
+            """(per-column arrays) per path — through the worker-wide
+            immutable-delta cache, so across rounds only NEW delta
+            roots touch disk."""
+            parts = []
             for p in paths:
-                d = os.path.join(p, f"bucket={bucket}")
-                if os.path.isdir(d):
-                    frames.append(pq.read_table(d, columns=columns).to_pandas())
-            return frames
+                arrs = _read_bucket_part(p, bucket, columns)
+                if arrs is not None:
+                    parts.append(arrs)
+            return parts
 
         def tomb_frame(bucket: int):
-            frames = read_bucket(tomb_paths, bucket, ["url", "tomb_round"])
+            frames = [
+                pd.DataFrame({"url": u, "tomb_round": r})
+                for u, r in read_bucket(tomb_paths, bucket, ("url", "tomb_round"))
+            ]
             # legacy compat: tombstones written before bucket_pruned
             # mode have no bucket dirs — read them whole, once per
             # task (urls of other buckets simply never match)
@@ -105,23 +168,25 @@ def filter_unseen_bucket_pruned(
 
         def load(bucket: int) -> "pd.Index":
             # no tombstones -> only the url column is ever consulted
-            cols = ["url", "added_round"] if tomb_paths else ["url"]
-            frames = read_bucket(seen_paths, bucket, cols)
-            if not frames:
+            cols = ("url", "added_round") if tomb_paths else ("url",)
+            parts = read_bucket(seen_paths, bucket, cols)
+            if not parts:
                 return pd.Index([], dtype=object)
-            seen = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+            urls = np.concatenate([p[0] for p in parts])
             tomb = tomb_frame(bucket) if tomb_paths else None
             if tomb is not None and len(tomb):
+                rounds = np.concatenate([p[1] for p in parts])
+                seen = pd.DataFrame({"url": urls, "added_round": rounds})
                 tr = seen["url"].map(tomb)
                 keep = (
                     tr.isna()
                     | (seen["added_round"] > tr)
                     | (seen["added_round"] == current_round)
                 )
-                seen = seen[keep]
+                urls = seen.loc[keep, "url"].to_numpy()
             # unique Index: its hash table is built on first
             # get_indexer and REUSED across every batch of this task
-            return pd.Index(pd.unique(seen["url"].to_numpy()))
+            return pd.Index(pd.unique(urls))
 
         for pdf in batches:
             if not len(pdf):

@@ -82,3 +82,41 @@ def test_bucket_pruned_forget_recrawl(spark, tmp_path):
     p0 = f[(f.url == urls[0]) & (f.status == "ok")]
     assert sorted(p0["round"]) == [0, 4]
     assert urls[0] in {r["url"] for r in eng.seen(m).select("url").collect()}
+
+
+def test_worker_delta_cache_immutable_and_lru(tmp_path, monkeypatch):
+    """The per-(path,bucket) delta cache serves repeat reads without
+    touching disk (immutability contract) and evicts LRU when over
+    the row budget."""
+    import shutil
+
+    import pandas as pd
+
+    import crypto_crawler_rs_spark.operators.seenjoin as sj
+
+    monkeypatch.setattr(sj, "_PATH_CACHE", type(sj._PATH_CACHE)())
+    monkeypatch.setattr(sj, "_PATH_CACHE_ROWS", 0)
+    monkeypatch.setattr(sj, "_PATH_CACHE_MAX_ROWS", 150)
+
+    def write_root(name, n):
+        root = tmp_path / name
+        (root / "bucket=0").mkdir(parents=True)
+        pd.DataFrame({"url": [f"u{i}" for i in range(n)]}).to_parquet(
+            root / "bucket=0" / "part.parquet", index=False
+        )
+        return str(root)
+
+    r1 = write_root("d1", 100)
+    got = sj._read_bucket_part(r1, 0, ("url",))
+    assert len(got[0]) == 100
+    # disk gone -> cache still answers (immutable roots)
+    shutil.rmtree(r1)
+    again = sj._read_bucket_part(r1, 0, ("url",))
+    assert len(again[0]) == 100
+    # missing dirs are negative-cached
+    assert sj._read_bucket_part(r1, 7, ("url",)) is None
+    # a second root pushes total rows over budget -> r1 evicted
+    r2 = write_root("d2", 100)
+    assert len(sj._read_bucket_part(r2, 0, ("url",))[0]) == 100
+    assert (r1, 0, ("url",)) not in sj._PATH_CACHE
+    assert (r2, 0, ("url",)) in sj._PATH_CACHE
