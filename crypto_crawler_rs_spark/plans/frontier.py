@@ -311,6 +311,11 @@ class FrontierScheduler:
             "fetched": [],
             "metrics": [],
             "quarantine": qpath,
+            # layout constant: the seen/tombstone delta dirs and the
+            # bloom shards are keyed by pmod(host_hash, n) — resuming
+            # with a different n would read the wrong bucket dirs and
+            # silently re-crawl (guarded in run())
+            "n_seen_buckets": self.cfg.n_seen_buckets,
         }
         self.store.commit(manifest)
         return manifest
@@ -861,6 +866,9 @@ class FrontierScheduler:
             "metrics": manifest["metrics"] + [metrics_path],
             "frontier_size": n_frontier,
             "quarantine": manifest.get("quarantine"),
+            "n_seen_buckets": manifest.get(
+                "n_seen_buckets", cfg.n_seen_buckets
+            ),
         }
         if cfg.profile_rounds:
             _mark("finalize")
@@ -887,6 +895,18 @@ class FrontierScheduler:
             if seeds is None:
                 raise ValueError("no checkpoint to resume and no seeds given")
             manifest = self.init_state(seeds)
+        else:
+            stored = manifest.get("n_seen_buckets")
+            if stored is not None and stored != self.cfg.n_seen_buckets:
+                # the on-disk bucket layout is immutable — a silent
+                # mismatch would read the wrong bucket=K dirs and
+                # re-crawl seen urls
+                raise ValueError(
+                    f"state dir was written with n_seen_buckets={stored}; "
+                    f"resuming with {self.cfg.n_seen_buckets} would mis-read "
+                    "the bucketed seen/tombstone layout (re-bucket via seen "
+                    "compaction with the old config first)"
+                )
         while manifest["round"] < max_rounds:
             if manifest.get("frontier_size") == 0:
                 break

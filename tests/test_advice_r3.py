@@ -198,3 +198,35 @@ def test_double_forget_same_round_keeps_both(spark, tmp_path):
     assert len(set(m["tombstones"])) == 2
     seen_now = {r["url"] for r in eng.seen(m).select("url").collect()}
     assert va not in seen_now and vb not in seen_now
+
+
+def test_resume_rejects_bucket_count_mismatch(spark, tmp_path):
+    """The on-disk bucket layout is immutable: resuming a state dir
+    with a different n_seen_buckets must fail loudly (a silent
+    mismatch would read the wrong bucket=K dirs and re-crawl)."""
+    import pytest
+
+    from crypto_crawler_rs_spark.plans.frontier import FrontierConfig, FrontierScheduler
+    from crypto_crawler_rs_spark.sources.fixtures import corpus_to_spark, gen_corpus
+
+    corpus = gen_corpus(n_pages=60, n_hosts=4, n_seeds=6, seed=71)
+    sdfs = corpus_to_spark(spark, corpus)
+    state = str(tmp_path / "s")
+    eng = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], state,
+        FrontierConfig(max_rounds=2, n_seen_buckets=4),
+    )
+    eng.run(seeds=sdfs["seeds"], max_rounds=2)
+    eng2 = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], state,
+        FrontierConfig(max_rounds=4, n_seen_buckets=8),
+    )
+    with pytest.raises(ValueError, match="n_seen_buckets=4"):
+        eng2.run(max_rounds=4)
+    # matching config resumes fine
+    eng3 = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], state,
+        FrontierConfig(max_rounds=3, n_seen_buckets=4),
+    )
+    m = eng3.run(max_rounds=3)
+    assert m["round"] == 3
