@@ -19,6 +19,7 @@ frontier-scheduler throughput run, and print ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -568,25 +569,55 @@ def main():
     frontier["urls_per_sec_spread_pct"] = round(
         100.0 * (max(tps) - min(tps)) / max(min(tps), 1), 1
     )
-    print(
-        json.dumps(
-            {
-                "metric": "frontier_urls_per_sec",
-                "value": frontier["urls_per_sec_mean"],
-                "unit": "sec",
-                "queries": queries,
-                "queries_method": "min of 2 runs per query (steady-state)",
-                "queries_prod_family": prod_family,
-                "sf": sf_dir,
-                "frontier": frontier,
-                "query_diff_vs_prev": diff_queries(queries),
-            }
-        )
-    )
+    record = {
+        "metric": "frontier_urls_per_sec",
+        "value": frontier["urls_per_sec_mean"],
+        "unit": "sec",
+        "queries": queries,
+        "queries_method": "min of 2 runs per query (steady-state)",
+        "queries_prod_family": prod_family,
+        "sf": sf_dir,
+        "frontier": frontier,
+        "query_diff_vs_prev": diff_queries(queries),
+    }
+    _write_last(record)  # survives even if the stdout line is truncated
+    print(json.dumps(record))
 
 
 _SCALING_LAST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH", "SCALING_LAST.json")
+
+
+def _engine_hash() -> str:
+    """md5 over the engine's source bytes (package + this file).
+    Scaling-point merges are only valid between runs of IDENTICAL
+    code — merging across versions would ratchet the tables
+    monotonically and hide real regressions (a new binary must never
+    be credited with an old binary's best points)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(root, "crypto_crawler_rs_spark", "**", "*.py"),
+                           recursive=True)
+    ) + [os.path.abspath(__file__)]
+    for p in paths:
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _write_last(obj: dict, name: str = "LAST.json"):
+    """Durable structured bench record (VERDICT r3 'wrong' #3: the
+    stdout JSON line outgrew the driver's tail capture and the parsed
+    record was lost) — the full object always survives on disk."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
 
 
 def _merge_scaling(summary: dict) -> dict:
@@ -599,6 +630,8 @@ def _merge_scaling(summary: dict) -> dict:
     per point across runs is the least-biased estimate of the
     machine's capability, and efficiencies are recomputed from the
     merged points."""
+    eh = _engine_hash()
+    summary["engine_hash"] = eh
     prev = None
     if os.path.exists(_SCALING_LAST):
         try:
@@ -606,6 +639,11 @@ def _merge_scaling(summary: dict) -> dict:
                 prev = json.load(f)
         except (OSError, json.JSONDecodeError):
             prev = None
+    # merge ONLY points measured on identical engine code — a stale
+    # file from a previous version would ratchet numbers monotonically
+    # and mask real regressions (ADVICE r3 #2)
+    if prev is not None and prev.get("engine_hash") != eh:
+        prev = None
     if prev is not None:
         def better(a, b):
             return a if a["urls_per_sec"] >= b["urls_per_sec"] else b

@@ -99,10 +99,13 @@ class ShardedBloom:
 
     def _flat_counts(self, shards: np.ndarray, pos_k: np.ndarray):
         """(unique flat indices, per-index multiplicity) for one hash
-        round — duplicates within a batch are counted ONCE here so
-        saturating updates never wrap (np.add.at on uint8 wraps
-        256→0, which would turn counters into bloom FALSE NEGATIVES —
-        the one failure the exact anti-join cannot repair)."""
+        round — duplicates within a batch are aggregated into ONE
+        clamped update per unique index, carrying the FULL multiplicity
+        (``counts``), so add() and delete() see matching multiplicities
+        and the single clamped write never wraps (np.add.at on uint8
+        wraps 256→0, which would turn counters into bloom FALSE
+        NEGATIVES — the one failure the exact anti-join cannot
+        repair)."""
         flat = shards * np.int64(self._arr.shape[1]) + pos_k
         return np.unique(flat, return_counts=True)
 

@@ -422,7 +422,17 @@ class FrontierScheduler:
                     np.array([r["h"] for r in hashes], dtype=np.int64),
                     np.array([r["u"] for r in hashes], dtype=np.int64),
                 )
-                bpath = self.store.round_dir(rnd, "bloom_forget")
+                # unique path per forget call (mirrors the
+                # seen_tombstone_{n} naming): a second forget in the
+                # same round must not overwrite a filter an already
+                # committed manifest points at — write-immutable-then-
+                # commit is the whole crash-safety story, and a crash
+                # mid-save over a referenced file would leave cleared
+                # counting bits without the matching tombstone commit
+                # (bloom false negatives → duplicate crawls).
+                bpath = self.store.round_dir(
+                    rnd, f"bloom_forget_{len(new_manifest['tombstones'])}"
+                )
                 bloom.save(bpath)
                 new_manifest["bloom"] = bpath
         self.store.commit(new_manifest)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -47,14 +48,12 @@ def budget_gate(requests: DataFrame, budget: int = 5) -> DataFrame:
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["priority", "url"], kind="mergesort")
-            decisions = []
-            counts = []
-            for _ in range(len(pdf)):
-                ok = admitted < budget
-                if ok:
-                    admitted += 1
-                decisions.append(ok)
-                counts.append(admitted)
+            # vectorized admission: in (priority, url) order, row i is
+            # admitted iff fewer than `budget` admissions precede it —
+            # i.e. prior-state admissions plus its rank in this group.
+            decisions = (admitted + np.arange(len(pdf))) < budget
+            counts = admitted + np.cumsum(decisions)
+            admitted = int(counts[-1]) if len(counts) else admitted
             out = pd.DataFrame(
                 {
                     "host": host,
