@@ -126,6 +126,7 @@ def filter_unseen_bucket_pruned(
 
         cache: dict[int, "pd.Index"] = {}
         legacy_tomb: list = []  # lazily-loaded non-partitioned roots
+        legacy_seen: list = []  # lazily-loaded non-partitioned seen roots
 
         def read_bucket(paths: list[str], bucket: int, columns: tuple):
             """(per-column arrays) per path — through the worker-wide
@@ -166,16 +167,56 @@ def filter_unseen_bucket_pruned(
             t = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             return t.groupby("url", sort=False)["tomb_round"].max()
 
+        def legacy_seen_frame():
+            """Seen deltas written before bucket_pruned mode (a
+            shuffle-mode run being resumed under bucket_pruned) have
+            no ``bucket=K`` dirs — without this fallback the whole
+            previously-seen set would read as EMPTY and be silently
+            re-crawled (ADVICE r3 #1).  Read each flat root once per
+            task and recompute the bucket from host_hash (same
+            pmod(host_hash, n) as the writer)."""
+            if not legacy_seen:
+                whole = []
+                for p in seen_paths:
+                    has_bucket_dirs = os.path.isdir(p) and any(
+                        e.startswith("bucket=") for e in os.listdir(p)
+                    )
+                    if os.path.isdir(p) and not has_bucket_dirs:
+                        t = pq.read_table(
+                            p, columns=["url", "host_hash", "added_round"]
+                        )
+                        if t.num_rows:
+                            f = t.to_pandas()
+                            # numpy % matches Spark pmod for positive n
+                            f["_bucket"] = (
+                                f["host_hash"].to_numpy().astype(np.int64)
+                                % np.int64(n_buckets)
+                            )
+                            whole.append(f)
+                legacy_seen.append(
+                    pd.concat(whole, ignore_index=True) if whole else None
+                )
+            return legacy_seen[0]
+
         def load(bucket: int) -> "pd.Index":
             # no tombstones -> only the url column is ever consulted
             cols = ("url", "added_round") if tomb_paths else ("url",)
             parts = read_bucket(seen_paths, bucket, cols)
-            if not parts:
+            url_parts = [p[0] for p in parts]
+            round_parts = [p[1] for p in parts] if tomb_paths else []
+            lf = legacy_seen_frame()
+            if lf is not None:
+                sel = lf["_bucket"].to_numpy() == bucket
+                if sel.any():
+                    url_parts.append(lf.loc[sel, "url"].to_numpy())
+                    if tomb_paths:
+                        round_parts.append(lf.loc[sel, "added_round"].to_numpy())
+            if not url_parts:
                 return pd.Index([], dtype=object)
-            urls = np.concatenate([p[0] for p in parts])
+            urls = np.concatenate(url_parts)
             tomb = tomb_frame(bucket) if tomb_paths else None
             if tomb is not None and len(tomb):
-                rounds = np.concatenate([p[1] for p in parts])
+                rounds = np.concatenate(round_parts)
                 seen = pd.DataFrame({"url": urls, "added_round": rounds})
                 tr = seen["url"].map(tomb)
                 keep = (

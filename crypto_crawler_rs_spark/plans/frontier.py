@@ -341,7 +341,12 @@ class FrontierScheduler:
 
     def _read_seen(self, manifest: dict) -> DataFrame | None:
         """Current seen set = union of deltas minus tombstones (U3)."""
-        seen = self.store.read_union(manifest["seen"])
+        # project to the layout-independent columns: deltas written
+        # before/after a shuffle↔bucket_pruned switch differ only in
+        # the extra ``bucket`` partition column
+        seen = self.store.read_union(
+            manifest["seen"], columns=["url", "url_hash", "host_hash", "added_round"]
+        )
         tombs = self.store.read_union(
             manifest.get("tombstones", []), columns=["url", "tomb_round"]
         )
@@ -676,12 +681,27 @@ class FrontierScheduler:
             # the per-round serial floor (cluster note: pyarrow reads
             # the same path via fsspec; the distributed branch above
             # is the real 10^10 path regardless)
-            import pyarrow.parquet as pq
+            import os as _os
 
-            delta_tbl = pq.read_table(seen_path, columns=["host_hash", "url_hash"])
-            bloom.add(
-                delta_tbl["host_hash"].to_numpy(), delta_tbl["url_hash"].to_numpy()
-            )
+            if _os.path.isdir(seen_path):
+                import pyarrow.parquet as pq
+
+                delta_tbl = pq.read_table(
+                    seen_path, columns=["host_hash", "url_hash"]
+                )
+                hh = delta_tbl["host_hash"].to_numpy()
+                uh = delta_tbl["url_hash"].to_numpy()
+            else:
+                # non-filesystem store (e.g. Iceberg table idents):
+                # go through the adapter; still a small-round path
+                pdf = (
+                    self.store.read(seen_path)
+                    .select("host_hash", "url_hash")
+                    .toPandas()
+                )
+                hh = pdf["host_hash"].to_numpy()
+                uh = pdf["url_hash"].to_numpy()
+            bloom.add(hh, uh)
         bloom_path = self.store.round_dir(rnd + 1, "bloom")
         bloom.save(bloom_path)
         _mark("bloom_update")
@@ -849,10 +869,21 @@ class FrontierScheduler:
         seen_paths = manifest["seen"] + [seen_path]
         tomb_paths = manifest.get("tombstones", [])
         if len(seen_paths) >= cfg.compact_seen_every:
-            compact = self.store.read_union(seen_paths)
+            # layout-independent projection (a resumed dir may mix
+            # flat shuffle-era and bucket-partitioned deltas), then
+            # re-derive the bucket column for the current layout
+            compact = self.store.read_union(
+                seen_paths,
+                columns=["url", "url_hash", "host_hash", "added_round"],
+            )
             tombs = self.store.read_union(tomb_paths, columns=["url", "tomb_round"])
             if tombs is not None:
                 compact = self._apply_tombstones(compact, tombs)
+            if self._seen_partition_by:
+                compact = compact.withColumn(
+                    "bucket",
+                    F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+                )
             compact = compact.repartition(
                 cfg.n_seen_buckets,
                 F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),

@@ -1,0 +1,191 @@
+"""Iceberg adapter for the frontier state store (VERDICT r3 "missing"
+#1).
+
+The engine's durability contract (plans/state.py: read_manifest /
+commit / round_dir / write / read / read_union) is storage-agnostic —
+proven mechanically by ``FlatStateStore`` + tests/test_state_contract.
+This module is the real-catalog third implementation: every round
+delta becomes an Iceberg table, and the manifest becomes an
+append-only Iceberg commit log whose atomicity is Iceberg's own
+snapshot commit (no ``os.replace`` anywhere — works on S3/HDFS where
+rename is not atomic).
+
+Layout (``prefix`` is a catalog-qualified namespace, e.g.
+``ice.crawl_state``):
+
+* ``write(df, rnd, name)`` → table ``{prefix}.r{rnd:06d}__{name}``
+  via ``df.writeTo(...).createOrReplace()``; the returned "path" is
+  the table identifier wrapped as ``iceberg://{ident}`` so manifests
+  stay plain JSON-of-strings and ``read``/``read_union`` can
+  dispatch.
+* ``commit(manifest)`` → append one row ``(seq, committed_json)`` to
+  ``{prefix}.manifest_log``; ``read_manifest`` reads the max-seq row.
+  Concurrent committers are serialized by Iceberg's optimistic
+  snapshot commit — exactly the property manifest.json+rename gives
+  on POSIX.
+* ``round_dir`` stays a real filesystem directory: it only carries
+  the bloom-filter sidecar (numpy bitmaps are not tabular; at
+  cluster scale this directory lives on the shared filesystem /
+  object store mount, same as today).
+
+The sandbox ships no Iceberg runtime jar, so construction is guarded:
+``IcebergStateStore`` raises ``IcebergUnavailable`` unless the target
+catalog is configured (``spark.sql.catalog.<name>``).  The command
+surface is factored into ``_create_namespace`` / ``_write_table`` /
+``_read_table`` / ``_append_manifest`` / ``_read_latest_manifest`` so
+tests/test_state_contract.py exercises the adapter's call sequence
+against a recording fake even where the jar is absent.
+
+Reference analog: none — the reference keeps all state in process
+memory and loses it on crash (crypto-crawler/src/crawlers/utils.rs:
+557-561, pm2 restart); durability is a north-rule addition.
+
+Constraint: ``seen_anti_join='bucket_pruned'`` bypasses the store —
+operators/seenjoin.py reads ``bucket=K`` parquet dirs straight off
+the filesystem for its task-side pruning — so this adapter currently
+pairs with ``seen_anti_join='shuffle'`` (the pure-Catalyst path).
+The Iceberg-native equivalent of bucket pruning is a partition-scoped
+table scan (``spark.table(...).where(bucket = K)`` with partition
+pruning), which slots into seenjoin behind the same columns; wiring
+that is future work and is orthogonal to the commit contract here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .state import StateStore
+
+_SCHEME = "iceberg://"
+
+
+class IcebergUnavailable(RuntimeError):
+    """Raised when the requested Iceberg catalog is not configured in
+    this SparkSession (no runtime jar / no spark.sql.catalog.* conf)."""
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True iff ``catalog`` is configured as a Spark catalog.  Cheap
+    conf probe — does not validate the jar can actually load; the
+    first ``_create_namespace`` surfaces that error."""
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}") is not None
+    except Exception:
+        return False
+
+
+class IcebergStateStore(StateStore):
+    """State store over Iceberg catalog tables.
+
+    ``prefix``: ``<catalog>.<namespace>`` for this crawl's tables.
+    ``root``: local/shared directory for non-tabular sidecars (bloom
+    bitmaps) and nothing else.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, prefix: str):
+        catalog = prefix.split(".", 1)[0]
+        if not iceberg_available(spark, catalog):
+            raise IcebergUnavailable(
+                f"catalog {catalog!r} is not configured "
+                f"(spark.sql.catalog.{catalog}); add the iceberg-spark-runtime "
+                "jar and catalog conf, or use StateStore/FlatStateStore"
+            )
+        super().__init__(spark, root)
+        self.prefix = prefix
+        self._create_namespace()
+
+    # -- command surface (overridable / recordable in tests) ----------
+    def _create_namespace(self) -> None:
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
+
+    def _write_table(self, df: DataFrame, ident: str, partition_by: str | None):
+        w = df.writeTo(ident)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(F.col(partition_by))
+        w.createOrReplace()
+
+    def _read_table(self, ident: str) -> DataFrame:
+        return self.spark.table(ident)
+
+    def _append_manifest(self, seq: int, payload: str) -> None:
+        log = f"{self.prefix}.manifest_log"
+        df = self.spark.createDataFrame([(seq, payload)], "seq long, manifest string")
+        try:
+            df.writeTo(log).append()
+        except Exception:
+            # first commit: table doesn't exist yet
+            df.writeTo(log).create()
+
+    def _read_latest_manifest(self) -> str | None:
+        from pyspark.sql import functions as F
+
+        log = f"{self.prefix}.manifest_log"
+        try:
+            rows = (
+                self._read_table(log)
+                .orderBy(F.col("seq").desc())
+                .limit(1)
+                .collect()
+            )
+        except Exception:
+            return None
+        return rows[0]["manifest"] if rows else None
+
+    # -- contract ------------------------------------------------------
+    def _ident(self, rnd: int, name: str) -> str:
+        return f"{self.prefix}.r{rnd:06d}__{name}"
+
+    def read_manifest(self) -> dict[str, Any] | None:
+        payload = self._read_latest_manifest()
+        return json.loads(payload) if payload is not None else None
+
+    def commit(self, manifest: dict[str, Any]) -> None:
+        prev = self.read_manifest()
+        seq = (prev.get("_seq", 0) + 1) if prev else 1
+        manifest = dict(manifest, _seq=seq)
+        self._append_manifest(seq, json.dumps(manifest))
+
+    def round_dir(self, rnd: int, name: str) -> str:
+        # sidecar-only (bloom bitmaps); tabular data never lands here
+        return os.path.join(self.root, "rounds", f"{rnd:06d}", name)
+
+    def write(
+        self,
+        df: DataFrame,
+        rnd: int,
+        name: str,
+        partitions: int | None = None,
+        partition_by: str | None = None,
+    ) -> str:
+        ident = self._ident(rnd, name)
+        w = df.repartition(partitions) if partitions else df
+        # no empty-write fallback needed: Iceberg tables carry schema
+        # in metadata, so a zero-row table reads back cleanly
+        self._write_table(w, ident, partition_by)
+        return _SCHEME + ident
+
+    def read(self, path: str) -> DataFrame:
+        if path.startswith(_SCHEME):
+            return self._read_table(path[len(_SCHEME):])
+        # mixed-state resume: a dir first crawled under a parquet
+        # store then resumed under Iceberg has plain-path entries
+        return super().read(path)
+
+    def read_union(
+        self, paths: list[str], columns: list[str] | None = None
+    ) -> DataFrame | None:
+        if not paths:
+            return None
+        dfs = [self.read(p) for p in paths]
+        if columns:
+            dfs = [df.select(*columns) for df in dfs]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out

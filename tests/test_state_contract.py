@@ -86,3 +86,116 @@ def test_flat_adapter_forget_resume_equals_default(spark, tmp_path):
             {r["url"] for r in eng2.seen(m2).select("url").collect()},
         )
     assert results["default"] == results["flat"]
+
+
+# -- Iceberg adapter (plans/iceberg.py) -------------------------------
+#
+# The sandbox has no Iceberg runtime jar, so the adapter's *Iceberg IO
+# surface* (_create_namespace/_write_table/_read_table/
+# _append_manifest/_read_latest_manifest) is replaced by an in-memory
+# recording fake; everything else — identifier naming, iceberg://
+# scheme dispatch, manifest seq log, read_union, the round loop driving
+# it — is the real code under test.  On a cluster with the jar, the
+# same class runs unmodified against the configured catalog.
+
+
+def _mem_iceberg_store(spark, root, prefix="ice.crawl"):
+    import crypto_crawler_rs_spark.plans.iceberg as ice
+
+    class MemIcebergStore(ice.IcebergStateStore):
+        def __init__(self):
+            # bypass the catalog-availability guard: fake IO below
+            StateStore.__init__(self, spark, root)
+            self.prefix = prefix
+            self.tables: dict[str, object] = {}   # ident -> (pandas, schema)
+            self.log: list[tuple[int, str]] = []  # manifest_log rows
+            self.calls: list[tuple] = []
+            self._create_namespace()
+
+        def _create_namespace(self):
+            self.calls.append(("create_namespace", self.prefix))
+
+        def _write_table(self, df, ident, partition_by):
+            self.calls.append(("write_table", ident, partition_by))
+            # materialize: Iceberg commits data at write time; keeping
+            # the lazy plan would re-read mutated upstream state
+            self.tables[ident] = (df.toPandas(), df.schema)
+
+        def _read_table(self, ident):
+            self.calls.append(("read_table", ident))
+            pdf, schema = self.tables[ident]
+            return spark.createDataFrame(pdf, schema=schema)
+
+        def _append_manifest(self, seq, payload):
+            self.calls.append(("append_manifest", seq))
+            self.log.append((seq, payload))
+
+        def _read_latest_manifest(self):
+            return max(self.log)[1] if self.log else None
+
+    return MemIcebergStore()
+
+
+def test_iceberg_guard_raises_without_catalog(spark, tmp_path):
+    import pytest
+
+    from crypto_crawler_rs_spark.plans.iceberg import (
+        IcebergStateStore,
+        IcebergUnavailable,
+        iceberg_available,
+    )
+
+    assert not iceberg_available(spark, "no_such_catalog")
+    with pytest.raises(IcebergUnavailable):
+        IcebergStateStore(spark, str(tmp_path / "i"), "no_such_catalog.ns")
+
+
+def test_iceberg_adapter_equals_default(spark, tmp_path):
+    """Same crawl through parquet StateStore and the Iceberg adapter
+    (in-memory catalog fake): identical schedule + seen set, all
+    tabular state via iceberg:// idents, manifest seq strictly
+    increasing, nothing tabular on the sidecar filesystem."""
+    import os
+
+    corpus = gen_corpus(n_pages=80, n_hosts=4, n_seeds=8, seed=61)
+    sdfs = corpus_to_spark(spark, corpus)
+    _, _, sched_a, seen_a = _crawl(spark, sdfs, str(tmp_path / "a"), StateStore)
+
+    store = _mem_iceberg_store(spark, str(tmp_path / "b"))
+    eng = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], str(tmp_path / "b"),
+        FrontierConfig(max_rounds=4, n_seen_buckets=4, seen_anti_join="shuffle"),
+        store=store,
+    )
+    m = eng.run(seeds=sdfs["seeds"], max_rounds=4)
+    f = eng.fetched(m).toPandas()
+    sched_b = (
+        f[f.status.isin(["ok", "missing"])]
+        .sort_values(["round", "rank_in_round"])
+        [["round", "url", "status", "text_sha256"]]
+        .to_records(index=False).tolist()
+    )
+    seen_b = {r["url"] for r in eng.seen(m).select("url").collect()}
+    assert sched_a == sched_b
+    assert seen_a == seen_b
+    # every tabular path is an iceberg:// table identifier
+    for key in ("frontier", "host_state"):
+        assert m[key].startswith("iceberg://"), m[key]
+    for key in ("seen", "fetched", "metrics", "tombstones"):
+        assert all(p.startswith("iceberg://") for p in m.get(key, []))
+    # manifest log: one append per commit, seq strictly increasing
+    seqs = [s for s, _ in store.log]
+    assert seqs == sorted(set(seqs)) and seqs[0] == 1
+    # a FRESH adapter instance over the same fake catalog resumes
+    store2 = _mem_iceberg_store(spark, str(tmp_path / "b"))
+    store2.tables, store2.log = store.tables, store.log
+    eng2 = FrontierScheduler(
+        spark, sdfs["pages"], sdfs["host_policy"], str(tmp_path / "b"),
+        FrontierConfig(max_rounds=5, n_seen_buckets=4, seen_anti_join="shuffle"),
+        store=store2,
+    )
+    m2 = eng2.run(max_rounds=5)
+    assert m2["round"] >= m["round"]
+    # only the bloom sidecar lives on the filesystem
+    for dirpath, _dirs, files in os.walk(tmp_path / "b"):
+        assert not any(fn.endswith(".parquet") for fn in files), dirpath
