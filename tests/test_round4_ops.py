@@ -1,0 +1,91 @@
+"""Round-4 operators: learned IVF codebook (spherical k-means job).
+
+The clustered fixture models the realistic worst case for the
+deterministic lowest-id default codebook: ids are assigned in cluster
+order (crawl order correlates with content), so the n_cells lowest-id
+vectors all come from ONE cluster and the default quantizer maps most
+of the space to a single cell.  The k-means codebook must (a) beat
+that default's recall at the same nprobe and (b) reach high absolute
+recall.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _clustered(spark, n_clusters=8, per_cluster=50, dim=16, noise=0.15, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + noise * rng.normal(size=dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+
+
+def _recall(approx, exact):
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    return len(a & e) / len(e)
+
+
+def test_learned_codebook_beats_lowest_id_default(spark):
+    from crypto_crawler_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        learn_ivf_centroids,
+    )
+
+    corpus = _clustered(spark).persist()
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)  # 2 per cluster
+    exact = cosine_topk_bruteforce(queries, corpus, k=5).toPandas()
+
+    default = cosine_topk_ivf(queries, corpus, k=5, n_cells=8, nprobe=2).toPandas()
+    book = learn_ivf_centroids(corpus, n_cells=8, n_iters=5)
+    learned = cosine_topk_ivf(
+        queries, corpus, k=5, n_cells=8, nprobe=2, centroids=book
+    ).toPandas()
+    corpus.unpersist()
+
+    r_default, r_learned = _recall(default, exact), _recall(learned, exact)
+    assert r_learned > r_default, (r_learned, r_default)
+    assert r_learned >= 0.9, r_learned
+
+
+def test_learned_codebook_is_deterministic_and_unit_norm(spark):
+    from crypto_crawler_rs_spark.operators.similarity import learn_ivf_centroids
+
+    corpus = _clustered(spark, n_clusters=4, per_cluster=20)
+    b1 = learn_ivf_centroids(corpus, n_cells=4, n_iters=3).toPandas()
+    b2 = learn_ivf_centroids(corpus, n_cells=4, n_iters=3).toPandas()
+    assert b1.vec_id.tolist() == [0, 1, 2, 3]
+    v1 = np.array(b1.sort_values("vec_id").embedding.tolist())
+    v2 = np.array(b2.sort_values("vec_id").embedding.tolist())
+    assert np.allclose(v1, v2)  # no RNG state: same input -> same book
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0)
+
+
+def test_learned_codebook_train_sample(spark):
+    """train_mod subsamples deterministically and still produces a
+    usable full-coverage codebook (cells near every cluster)."""
+    from crypto_crawler_rs_spark.operators.similarity import learn_ivf_centroids
+
+    corpus = _clustered(spark, per_cluster=80)
+    book = learn_ivf_centroids(
+        corpus, n_cells=8, n_iters=4, train_mod=2
+    ).toPandas()
+    assert len(book) == 8
+    C = np.array(book.embedding.tolist())
+    # every true cluster center has a nearby learned centroid
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sims = centers @ C.T
+    assert (sims.max(axis=1) > 0.85).all(), sims.max(axis=1)
