@@ -21,6 +21,16 @@ archive never inflates its ~4-5 GB of content in task memory at
 once; peak extra memory is one record plus one output batch
 (``_BATCH_BYTES``).  The writer exists for tests and for re-sharding
 small corpora.
+
+Per-file ceiling: ``binaryFile`` materializes each archive's
+COMPRESSED bytes as one row, and Spark caps binaryFile rows at 2 GB
+(Int.MaxValue bytes — ``spark.sql.sources.binaryFile.maxLength``).
+CC's ~1 GB shards sit comfortably under it; for oversize archives,
+re-shard upstream or swap this source for an
+``sc.binaryFiles``/custom-datasource reader with a true streaming
+open.  Throughput scales with the FILE count (one task per archive;
+see ``test_warc_multi_archive_parallelism``), so many ~1 GB shards
+is also the fast layout, not just the safe one.
 """
 
 from __future__ import annotations

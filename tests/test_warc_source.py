@@ -113,3 +113,50 @@ def test_warc_crawl_equals_dataframe_crawl(spark, tmp_path):
             )
         )
     assert results[0] == results[1]
+
+
+def test_warc_multi_archive_parallelism(spark, tmp_path):
+    """A sharded corpus (many archives, the CC layout) reads as one
+    DataFrame with file-level parallelism: records land in multiple
+    tasks (one per archive once file-packing is out of the way), and
+    the union equals the sum of per-archive reads."""
+    from pyspark.sql import functions as F
+
+    n_files, per_file = 6, 8
+    expect = set()
+    for a in range(n_files):
+        recs = []
+        for i in range(per_file):
+            url = f"https://s{a}.example.com/p/{i}"
+            recs.append((url, "2023-03-03T00:00:00Z",
+                         f"<html><p>a{a} r{i}</p></html>".encode()))
+            expect.add(url)
+        write_warc(recs, str(tmp_path / f"shard-{a}.warc.gz"),
+                   compress="members")
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # defeat small-file packing so each tiny archive gets its own
+        # split, as a real ~1 GB shard would under defaults
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "2048")
+        df = pages_from_warc(spark, str(tmp_path / "shard-*.warc.gz"))
+        got = (
+            df.withColumn("pid", F.spark_partition_id())
+            .select("url", "pid")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    assert {r["url"] for r in got} == expect
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r["pid"], set()).add(r["url"].split(".")[0])
+    # multiple tasks did real work, and no archive was split across
+    # tasks (binaryFile is one row per file)
+    assert len(by_pid) >= 2
+    for hosts in by_pid.values():
+        assert len(hosts) <= max(1, n_files // len(by_pid) + 1)
