@@ -82,7 +82,9 @@ def _spark(cpus: int):
     )
 
 
-def run_frontier(spark, big: bool = False, scale_config: bool = False) -> dict:
+def run_frontier(
+    spark, big: bool = False, scale_config: bool = False, profile: bool = False
+) -> dict:
     """Throughput = URL decisions (scheduled + dedup-checked
     discovered links) per second over a multi-round crawl.
 
@@ -133,7 +135,13 @@ def run_frontier(spark, big: bool = False, scale_config: bool = False) -> dict:
             seen_anti_join="bucket_pruned",
             bloom_probe_mode="sharded",
             bloom_expected_urls=(knobs["n_pages"] * 4),
+            # the executor-side bitmap build is the declared 10^10
+            # bloom-maintenance design — make it the MEASURED path in
+            # the scale config (threshold 0: every round distributed)
+            distributed_bloom_threshold=0,
         )
+    if profile:
+        cfg_kw["profile_rounds"] = True
     eng = FrontierScheduler(
         spark,
         sdfs["pages"],
@@ -154,7 +162,7 @@ def run_frontier(spark, big: bool = False, scale_config: bool = False) -> dict:
     ).collect()[0]
     scheduled = int(agg["scheduled"] or 0)
     links = int(agg["links"] or 0)
-    return {
+    out = {
         "wall_sec": round(wall, 2),
         "rounds": manifest["round"],
         "scheduled": scheduled,
@@ -163,6 +171,17 @@ def run_frontier(spark, big: bool = False, scale_config: bool = False) -> dict:
         "urls_per_sec": round((scheduled + links) / wall, 1),
         "config": "scale" if scale_config else "default",
     }
+    if profile:
+        hist = [
+            t for t in manifest.get("timings_history", [])
+            if t.get("round", 0) >= warmup
+        ]
+        if hist:
+            phases = [k for k in hist[0] if k != "round"]
+            out["phase_sec_total"] = {
+                p: round(sum(t.get(p, 0.0) for t in hist), 2) for p in phases
+            }
+    return out
 
 
 def run_kernel(spark, n: int = 10_000_000) -> dict:
@@ -261,6 +280,150 @@ def run_queries(spark, sf_dir: str, runs: int = 2) -> dict:
     return out
 
 
+def _synth_urls(df):
+    """(url, host, host_hash) from an ``id`` range — shared synthetic
+    url generator for the isolated seenjoin / compaction / bloom
+    benches (~5000 hosts, realistic key skew-free baseline)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.concat(
+                F.lit("https://host"),
+                F.pmod(F.xxhash64("id"), F.lit(5000)),
+                F.lit(".example.com/p/"),
+                F.col("id"),
+            ).alias("url"),
+            F.col("id"),
+        )
+        .withColumn("host", F.regexp_extract("url", r"^https://([^/]+)", 1))
+        .withColumn("host_hash", F.hash("host"))
+    )
+
+
+def run_compaction(
+    spark,
+    n_deltas: int = 8,
+    rows_per_delta: int = 500_000,
+    n_tombs: int = 50_000,
+    n_buckets: int = 32,
+) -> dict:
+    """The every-``compact_seen_every``-rounds seen compaction at 4M+
+    seen rows (VERDICT r3 next-6): fold N bucketed delta roots plus a
+    tombstone root into one snapshot via FrontierScheduler.compact_seen
+    — the one periodic whole-seen-set job in the engine."""
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierScheduler,
+    )
+
+    state = tempfile.mkdtemp(prefix="bench_compact_")
+    eng = FrontierScheduler(
+        spark,
+        spark.createDataFrame([], "url string, html binary"),
+        spark.createDataFrame([], "host string, budget_per_round int"),
+        state,
+        FrontierConfig(
+            seen_anti_join="bucket_pruned",
+            n_seen_buckets=n_buckets,
+            cache_pages=False,
+        ),
+    )
+    seen_paths = []
+    for i in range(n_deltas):
+        base = i * rows_per_delta
+        delta = (
+            _synth_urls(spark.range(base, base + rows_per_delta))
+            .withColumn("added_round", F.lit(i))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod("host_hash", F.lit(n_buckets)))
+            .drop("id", "host")
+        )
+        seen_paths.append(
+            eng.store.write(delta, i, "seen_delta", partition_by="bucket")
+        )
+    tomb = (
+        _synth_urls(spark.range(0, n_tombs * 37, 37))
+        .select("url", "host_hash")
+        .withColumn("tomb_round", F.lit(n_deltas))
+        .withColumn("bucket", F.pmod("host_hash", F.lit(n_buckets)))
+        .drop("host_hash")
+    )
+    tomb_paths = [eng.store.write(tomb, n_deltas, "seen_tombstone",
+                                  partition_by="bucket")]
+    total = n_deltas * rows_per_delta
+
+    t0 = time.perf_counter()
+    new_seen, new_tombs = eng.compact_seen(seen_paths, tomb_paths, n_deltas + 1)
+    wall = time.perf_counter() - t0
+    remaining = spark.read.parquet(new_seen[0]).count()
+    expect = total - len(
+        range(0, n_tombs * 37, 37)
+    )  # every tombstoned id < total, so all cancel
+    assert new_tombs == [] and remaining == expect, (remaining, expect)
+    return {
+        "seen_rows": total,
+        "deltas": n_deltas,
+        "tombstones": n_tombs,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(total / wall, 1),
+    }
+
+
+def run_bloom_update(spark, n_rows: int = 2_000_000, n_shards: int = 32) -> dict:
+    """Per-round bloom maintenance, both branches side-by-side
+    (VERDICT r3 next-7): the small-round driver path (pyarrow read +
+    in-process add) vs the declared 10^10 path (executor-side
+    build_shard_bitmaps + OR-merge).  Asserts bit-identity, reports
+    both timings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.functions.bloom import (
+        ShardedBloom,
+        build_shard_bitmaps,
+        merge_shard_bitmaps,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_bloom_") + "/delta"
+    (
+        _synth_urls(spark.range(n_rows))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .select("host_hash", "url_hash")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+
+    bloom_a = ShardedBloom.for_cardinality(n_rows * 2, n_shards=n_shards)
+    t0 = time.perf_counter()
+    tbl = pq.read_table(d, columns=["host_hash", "url_hash"])
+    bloom_a.add(tbl["host_hash"].to_numpy(), tbl["url_hash"].to_numpy())
+    t_driver = time.perf_counter() - t0
+
+    bloom_b = ShardedBloom.for_cardinality(n_rows * 2, n_shards=n_shards)
+    t0 = time.perf_counter()
+    rows = build_shard_bitmaps(
+        spark.read.parquet(d),
+        bloom_b.n_shards,
+        bloom_b.bits_per_shard,
+        bloom_b.n_hashes,
+    ).collect()
+    merge_shard_bitmaps(bloom_b, rows)
+    t_distributed = time.perf_counter() - t0
+    assert np.array_equal(bloom_a._arr, bloom_b._arr), "branches diverged"
+    return {
+        "delta_rows": n_rows,
+        "n_shards": n_shards,
+        "filter_mb": round(bloom_a._arr.nbytes / 1e6, 1),
+        "driver_pyarrow_sec": round(t_driver, 2),
+        "distributed_bitmap_sec": round(t_distributed, 2),
+        "bit_identical": True,
+    }
+
+
 def run_seenjoin(
     spark,
     seen_sizes=(250_000, 1_000_000, 4_000_000),
@@ -284,20 +447,7 @@ def run_seenjoin(
         filter_unseen_bucket_pruned,
     )
 
-    def urls_of(df):
-        return (
-            df.select(
-                F.concat(
-                    F.lit("https://host"),
-                    F.pmod(F.xxhash64("id"), F.lit(5000)),
-                    F.lit(".example.com/p/"),
-                    F.col("id"),
-                ).alias("url"),
-                F.col("id"),
-            )
-            .withColumn("host", F.regexp_extract("url", r"^https://([^/]+)", 1))
-            .withColumn("host_hash", F.hash("host"))
-        )
+    urls_of = _synth_urls
 
     points = []
     for n in seen_sizes:
@@ -431,6 +581,10 @@ def main():
     ap.add_argument("--frontier-only", action="store_true")
     ap.add_argument("--kernel-only", action="store_true")
     ap.add_argument("--seenjoin-only", action="store_true")
+    ap.add_argument("--compaction-only", action="store_true")
+    ap.add_argument("--bloom-only", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="with --frontier-only: per-phase wall attribution")
     ap.add_argument("--prod-family-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--big", action="store_true")
@@ -465,6 +619,22 @@ def main():
         print(json.dumps(res))
         return
 
+    if args.compaction_only:
+        spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = run_compaction(spark)
+        spark.stop()
+        print(json.dumps(res))
+        return
+
+    if args.bloom_only:
+        spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = run_bloom_update(spark)
+        spark.stop()
+        print(json.dumps(res))
+        return
+
     if args.prod_family_only:
         spark = _spark(args.cpus)
         # same warm-up as run_queries so min-of-2 measures steady state
@@ -476,7 +646,10 @@ def main():
 
     if args.frontier_only:
         spark = _spark(args.cpus)
-        res = run_frontier(spark, big=args.big, scale_config=args.scale_config)
+        res = run_frontier(
+            spark, big=args.big, scale_config=args.scale_config,
+            profile=args.profile,
+        )
         spark.stop()
         print(json.dumps(res))
         return
@@ -513,12 +686,16 @@ def main():
             ["--frontier-only", "--big", "--scale-config", "--cpus", "32"]
         )
         seenjoin = sub(["--seenjoin-only", "--cpus", "32"])
+        compaction = sub(["--compaction-only", "--cpus", "32"])
+        bloom_update = sub(["--bloom-only", "--cpus", "32"])
         summary = {
             "kernel_detail": kernel,
             "kernel_100m": kernel_100m,
             "pipeline_detail": pipeline,
             "pipeline_scale_detail": pipeline_scale,
             "seenjoin_crossover": seenjoin,
+            "compaction": compaction,
+            "bloom_update": bloom_update,
         }
         summary = _merge_scaling(summary)
         k = {c: summary["kernel_detail"][c]["urls_per_sec"]
@@ -691,6 +868,47 @@ def _seenjoin_rows(summary: dict) -> str:
     ) + "\n"
 
 
+def _maintenance_sections(summary: dict) -> str:
+    """§2.6/2.7 — periodic-maintenance benches (seen compaction and
+    bloom update), present when the scaling run measured them."""
+    out = []
+    c = summary.get("compaction")
+    if c:
+        out.append(f"""### 2.6 Seen compaction (periodic whole-seen-set job)
+
+Every `compact_seen_every` rounds the engine folds the seen delta
+roots + tombstones into one bucketed snapshot
+(FrontierScheduler.compact_seen — Iceberg rewrite-data-files analog).
+Measured at {c['seen_rows']:,} seen rows across {c['deltas']} deltas
++ {c['tombstones']:,} tombstones (`python bench.py --compaction-only`):
+**{c['wall_sec']}s = {c['rows_per_sec']:,.0f} rows/sec** — one read +
+one pmod shuffle + one partitioned write.  Amortized per round it is
+{c['wall_sec']}/{8} ≈ {round(c['wall_sec']/8,2)}s at this size; the
+cost is linear in seen rows and embarrassingly bucket-parallel, so on
+a cluster it scales with executors like any single-shuffle job.
+Worker delta caches age out naturally (compaction writes NEW roots;
+old roots are never requested again and LRU-evict).
+""")
+    b = summary.get("bloom_update")
+    if b:
+        out.append(f"""### 2.7 Bloom maintenance, both branches ({b['delta_rows']:,}-row delta, {b['filter_mb']} MB filter)
+
+`python bench.py --bloom-only` times the per-round filter update
+both ways on identical data and asserts bit-identity:
+
+| branch | seconds |
+|---|---|
+| driver pyarrow read + in-process add (small rounds) | {b['driver_pyarrow_sec']} |
+| executor-side build_shard_bitmaps + OR-merge (10^10 path) | {b['distributed_bitmap_sec']} |
+
+The distributed branch ships one {b['filter_mb']} MB bitmap set per
+round instead of the delta's raw rows, keeps the hash work on
+executors, and is the measured path in the `--big --scale-config`
+pipeline run (distributed_bloom_threshold=0).
+""")
+    return ("\n".join(out) + "\n") if out else ""
+
+
 def _write_baseline_md(summary: dict):
     kd = summary["kernel_detail"]
     pd_ = summary["pipeline_detail"]
@@ -796,7 +1014,7 @@ immutable, so reused python workers additionally cache per-bucket
 arrow tables across rounds (`SPARK_GRAFT_SEENJOIN_CACHE_ROWS`,
 operators/seenjoin.py) — recurring rounds re-read only NEW deltas.
 
-## 3. Reference baseline
+{_maintenance_sections(summary)}## 3. Reference baseline
 
 crypto-crawler-rs publishes no benchmark numbers (see BASELINE.md);
 its throughput envelope is its rate-limit constants — at best ~500

@@ -354,6 +354,46 @@ class FrontierScheduler:
             seen = self._apply_tombstones(seen, tombs)
         return seen
 
+    def compact_seen(
+        self, seen_paths: list[str], tomb_paths: list[str], write_round: int
+    ) -> tuple[list[str], list[str]]:
+        """Fold seen deltas + tombstones into ONE bucketed snapshot
+        (Iceberg rewrite-data-files analog) — called by the round loop
+        every ``compact_seen_every`` rounds and benched standalone
+        (bench.py --compaction-only).
+
+        Cost model: one full read of the seen set + one shuffle on
+        pmod(host_hash, n_buckets) + one partitioned write — the only
+        periodic whole-seen-set job in the engine.  Worker delta
+        caches age out naturally: compaction writes NEW root paths, so
+        old roots are simply never requested again and LRU-evict
+        (operators/seenjoin._PATH_CACHE)."""
+        cfg = self.cfg
+        # layout-independent projection (a resumed dir may mix flat
+        # shuffle-era and bucket-partitioned deltas), then re-derive
+        # the bucket column for the current layout
+        compact = self.store.read_union(
+            seen_paths,
+            columns=["url", "url_hash", "host_hash", "added_round"],
+        )
+        tombs = self.store.read_union(tomb_paths, columns=["url", "tomb_round"])
+        if tombs is not None:
+            compact = self._apply_tombstones(compact, tombs)
+        if self._seen_partition_by:
+            compact = compact.withColumn(
+                "bucket",
+                F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+            )
+        compact = compact.repartition(
+            cfg.n_seen_buckets,
+            F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+        )
+        path = self.store.write(
+            compact, write_round, "seen_compact",
+            partition_by=self._seen_partition_by,
+        )
+        return [path], []  # tombstones folded into the snapshot
+
     def forget(self, urls: DataFrame, manifest: dict | None = None) -> dict:
         """Remove URLs from the seen set so they can be re-crawled —
         the unsubscribe/retain path (U3,
@@ -869,32 +909,7 @@ class FrontierScheduler:
         seen_paths = manifest["seen"] + [seen_path]
         tomb_paths = manifest.get("tombstones", [])
         if len(seen_paths) >= cfg.compact_seen_every:
-            # layout-independent projection (a resumed dir may mix
-            # flat shuffle-era and bucket-partitioned deltas), then
-            # re-derive the bucket column for the current layout
-            compact = self.store.read_union(
-                seen_paths,
-                columns=["url", "url_hash", "host_hash", "added_round"],
-            )
-            tombs = self.store.read_union(tomb_paths, columns=["url", "tomb_round"])
-            if tombs is not None:
-                compact = self._apply_tombstones(compact, tombs)
-            if self._seen_partition_by:
-                compact = compact.withColumn(
-                    "bucket",
-                    F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
-                )
-            compact = compact.repartition(
-                cfg.n_seen_buckets,
-                F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
-            )
-            seen_paths = [
-                self.store.write(
-                    compact, rnd + 1, "seen_compact",
-                    partition_by=self._seen_partition_by,
-                )
-            ]
-            tomb_paths = []  # folded into the compacted snapshot
+            seen_paths, tomb_paths = self.compact_seen(seen_paths, tomb_paths, rnd + 1)
 
         new_manifest = {
             "round": rnd + 1,
@@ -917,6 +932,11 @@ class FrontierScheduler:
                 name: round(t - _marks[i][1], 3)
                 for i, (name, t) in enumerate(_marks[1:])
             }
+            # full history so a bench can attribute wall time per
+            # phase across ALL rounds, not just the last one
+            new_manifest["timings_history"] = manifest.get(
+                "timings_history", []
+            ) + [dict(new_manifest["timings"], round=rnd)]
         self.store.commit(new_manifest)
         return new_manifest
 
