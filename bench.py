@@ -533,10 +533,31 @@ def run_prod_family(spark, sf_dir: str) -> dict:
             n_tables=8, hash_family="xxhash64",
         ).count()
 
+    # production IVF: train the spherical-k-means codebook once
+    # (offline job — timed separately), then query against it
+    from crypto_crawler_rs_spark.operators.similarity import (
+        cosine_topk_ivf,
+        learn_ivf_centroids,
+    )
+
+    t0 = time.perf_counter()
+    book = learn_ivf_centroids(emb, n_cells=16, n_iters=4).persist()
+    book.count()
+    t_train = time.perf_counter() - t0
+
+    def ivf():
+        return cosine_topk_ivf(
+            emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=16, nprobe=3,
+            centroids=book,
+        ).count()
+
     out = {
         "dedup_minhash_lsh_prod": _best_of(minhash),
         "ann_cosine_lsh_prod": _best_of(ann),
+        "ivf_codebook_train": round(t_train, 2),
+        "ann_cosine_ivf_learned": _best_of(ivf),
     }
+    book.unpersist()
     spark.catalog.clearCache()  # drop the ops' persisted indexes
     return out
 
