@@ -177,6 +177,36 @@ class IcebergStateStore(StateStore):
         # store then resumed under Iceberg has plain-path entries
         return super().read(path)
 
+    # -- snapshot GC ---------------------------------------------------
+    def _list_tables(self) -> list[str]:
+        rows = self.spark.sql(f"SHOW TABLES IN {self.prefix}").collect()
+        return [f"{self.prefix}.{r['tableName']}" for r in rows]
+
+    def _drop_table(self, ident: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+    def gc(self, manifest: dict[str, Any] | None = None) -> list[str]:
+        """Expire-snapshots analog: drop round tables the committed
+        manifest no longer references, plus unreferenced filesystem
+        sidecars (old bloom dirs).  Only tables under this store's
+        ``r{round}__`` namespace prefix are candidates — the manifest
+        log and any foreign tables are never touched."""
+        manifest = manifest or self.read_manifest()
+        if manifest is None:
+            return []
+        deleted = super().gc(manifest)  # bloom sidecar dirs
+        keep = {
+            p[len(_SCHEME):]
+            for p in self.referenced_paths(manifest)
+            if p.startswith(_SCHEME)
+        }
+        round_prefix = f"{self.prefix}.r"
+        for ident in self._list_tables():
+            if ident.startswith(round_prefix) and ident not in keep:
+                self._drop_table(ident)
+                deleted.append(_SCHEME + ident)
+        return deleted
+
     def read_union(
         self, paths: list[str], columns: list[str] | None = None
     ) -> DataFrame | None:

@@ -110,6 +110,56 @@ class StateStore:
     def read(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
 
+    # -- snapshot GC ---------------------------------------------------
+    @staticmethod
+    def referenced_paths(manifest: dict[str, Any]) -> set[str]:
+        """Every data path the snapshot still depends on."""
+        paths: set[str] = set()
+        for k in ("frontier", "host_state", "bloom", "quarantine"):
+            if manifest.get(k):
+                paths.add(manifest[k])
+        for k in ("seen", "tombstones", "fetched", "metrics"):
+            paths.update(manifest.get(k) or [])
+        return paths
+
+    def data_dirs(self) -> list[str]:
+        """All round-scoped data directories this store has written —
+        the GC candidate set (layout-specific; adapters override)."""
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(self.root, "rounds", "*", "*")))
+
+    def gc(self, manifest: dict[str, Any] | None = None) -> list[str]:
+        """Delete data directories the CURRENT snapshot no longer
+        references — the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analog for the parquet stand-in.
+
+        Two kinds of garbage accumulate in a long crawl: deltas folded
+        away by seen compaction (their rows live on in the compacted
+        snapshot) and orphan dirs from rounds that crashed before
+        their manifest commit.  Both are invisible to readers (readers
+        only follow manifest-listed paths), so deleting them cannot
+        change any result — pinned by tests/test_gc.py, which resumes
+        a crawl after gc and matches the uninterrupted oracle.
+
+        Uses the COMMITTED manifest by default (safest); only call
+        with an explicit ``manifest`` that is at least as new.  Not
+        concurrency-safe against a crawl actively writing the next
+        round — run it between rounds, like any table maintenance job.
+        Returns the deleted paths."""
+        import shutil
+
+        manifest = manifest or self.read_manifest()
+        if manifest is None:
+            return []
+        keep = self.referenced_paths(manifest)
+        deleted = []
+        for d in self.data_dirs():
+            if d not in keep:
+                shutil.rmtree(d, ignore_errors=True)
+                deleted.append(d)
+        return deleted
+
     # -- contract ------------------------------------------------------
     # The engine depends ONLY on this surface: read_manifest / commit /
     # round_dir / write / read / read_union.  Any adapter honoring it
@@ -159,3 +209,8 @@ class FlatStateStore(StateStore):
 
     def round_dir(self, rnd: int, name: str) -> str:
         return os.path.join(self.root, f"r{rnd:06d}--{name}")
+
+    def data_dirs(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(self.root, "r[0-9]*--*")))
