@@ -85,6 +85,66 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     ).drop(words_col)
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exploded distinct k-word shingle rows ``(_id, _n, _s)`` where
+    ``_n`` is the doc's distinct-shingle count — the shared input of
+    every shingle-based dedup operator.
+
+    Two implementations with IDENTICAL output (multiset of rows;
+    pinned by ``test_shingle_impls_equivalent``):
+
+    * ``impl='hof'`` — :func:`word_shingles` + explode.  Pure JVM, but
+      higher-order functions (transform/slice/concat_ws lambdas) are
+      INTERPRETED per element, not codegen'd.
+    * ``impl='arrow'`` (default) — one ``mapInPandas`` doing the
+      split/join in Python over Arrow batches.  Measured ~2.9x faster
+      steady-state at sf0.1 (0.8s vs 2.2s for the full explode) —
+      the interpreted-HOF tax outweighs Python string costs here,
+      the exception to the usual stay-JVM rule (same finding as the
+      LSH Arrow matmul, SNIPPETS r2)."""
+    if impl == "hof":
+        sh = word_shingles(df.select(id_col, text_col), text_col, k)
+        return sh.select(
+            F.col(id_col).alias("_id"),
+            F.size("shingles").alias("_n"),
+            F.explode("shingles").alias("_s"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown shingle impl {impl!r}")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split(" ")
+                if len(toks) >= k:
+                    sset = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - (k - 1))
+                        )
+                    )
+                else:
+                    sset = []
+                n = len(sset)
+                ids.extend([did] * n)
+                ns.extend([n] * n)
+                ss.extend(sset)
+            yield pd.DataFrame({"_id": ids, "_n": ns, "_s": ss})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema="_id long, _n int, _s string"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,6 +153,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     cleanup: list | None = None,
+    shingle_impl: str = "arrow",
 ) -> DataFrame:
     """All doc pairs with Jaccard(shingle sets) >= threshold.
 
@@ -119,17 +180,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = word_shingles(df.select(id_col, text_col), text_col, k)
-    sized = sh.select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_n"), "shingles"
-    )
     # persist the exploded (id, shingle-hash) index: BOTH sides of the
     # self-join (and the df-cap count) reuse it, so the text scan +
     # shingling runs once instead of 2-3x (it dominates the query)
-    ex = sized.select(
-        "_id", "_n", F.explode("shingles").alias("_s")
-    ).withColumn("_sh", F.xxhash64("_s")).drop("_s").persist(
-        StorageLevel.MEMORY_AND_DISK
+    ex = (
+        shingle_rows(df, id_col, text_col, k, impl=shingle_impl)
+        .withColumn("_sh", F.xxhash64("_s"))
+        .drop("_s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if cleanup is not None:
         cleanup.append(ex)
@@ -177,8 +235,7 @@ def minhash_signatures(
     """(id, h0..h{n-1}) MinHash signature — one groupBy with n min
     aggregates over a seeded hash family of the shingles
     (H_i(s) = family('mh{i}#' || s); see :func:`_family_hash`)."""
-    sh = word_shingles(df.select(id_col, text_col), text_col, k)
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("_s"))
+    ex = shingle_rows(df, id_col, text_col, k).select("_id", "_s")
     aggs = [
         F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
         for i in range(n_hashes)
@@ -196,6 +253,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
     bucket_cap: int | None = None,
+    shingle_impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs via banded LSH then EXACT Jaccard confirmation.
 
@@ -222,10 +280,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     # shingle once, reuse for both the signature build and the exact
     # confirmation join (the shingling scan is the expensive part)
-    sh_base = word_shingles(df.select(id_col, text_col), text_col, k).select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_n"), "shingles"
-    )
-    ex_base = sh_base.select("_id", "_n", F.explode("shingles").alias("_s")).persist(
+    ex_base = shingle_rows(df, id_col, text_col, k, impl=shingle_impl).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     aggs = [

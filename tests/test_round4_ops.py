@@ -89,3 +89,31 @@ def test_learned_codebook_train_sample(spark):
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     sims = centers @ C.T
     assert (sims.max(axis=1) > 0.85).all(), sims.max(axis=1)
+
+
+def test_shingle_impls_equivalent(spark):
+    """arrow and hof shingle_rows must emit the identical multiset of
+    (_id, _n, _s) rows — including the edge cases: empty text, double
+    spaces (empty tokens preserved), trailing space, < k words,
+    duplicate shingles collapsed."""
+    from crypto_crawler_rs_spark.operators.dedup import shingle_rows
+
+    rows = [
+        (0, "a b c d e"),
+        (1, ""),
+        (2, "one two"),                # < k words
+        (3, "x  y z"),                 # double space -> empty token
+        (4, "p q r p q r p q r"),      # repeated shingles collapse
+        (5, "tail space "),            # trailing empty token
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = shingle_rows(df, impl="arrow").toPandas()
+    h = shingle_rows(df, impl="hof").toPandas()
+    key = lambda p: sorted(map(tuple, p[["_id", "_n", "_s"]].values))
+    assert key(a) == key(h)
+    # ...and on the real fixture corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = shingle_rows(docs, impl="arrow").toPandas()
+    h = shingle_rows(docs, impl="hof").toPandas()
+    assert key(a) == key(h)
