@@ -254,6 +254,7 @@ def minhash_lsh_pairs(
     hash_family: str = "xxhash64",
     bucket_cap: int | None = None,
     shingle_impl: str = "arrow",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH then EXACT Jaccard confirmation.
 
@@ -283,6 +284,11 @@ def minhash_lsh_pairs(
     ex_base = shingle_rows(df, id_col, text_col, k, impl=shingle_impl).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cleanup is not None:
+        # same contract as ngram_jaccard_pairs (ADVICE r3 #4): the
+        # caller unpersists the shingle index after materializing, or
+        # a long-lived session accumulates cached partitions per call
+        cleanup.append(ex_base)
     aggs = [
         F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
         for i in range(n_hashes)

@@ -117,3 +117,21 @@ def test_shingle_impls_equivalent(spark):
     a = shingle_rows(docs, impl="arrow").toPandas()
     h = shingle_rows(docs, impl="hof").toPandas()
     assert key(a) == key(h)
+
+
+def test_minhash_cleanup_contract(spark):
+    """minhash_lsh_pairs(cleanup=...) hands back its persisted shingle
+    index so callers can unpersist — same contract ngram_jaccard_pairs
+    got in r3 (long-lived sessions otherwise accumulate cached
+    partitions per invocation)."""
+    from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    held = []
+    out = minhash_lsh_pairs(
+        docs, k=3, n_hashes=8, n_bands=4, threshold=0.05, cleanup=held
+    )
+    out.count()
+    assert len(held) == 1 and held[0].is_cached
+    held[0].unpersist(blocking=True)
+    assert not held[0].is_cached
