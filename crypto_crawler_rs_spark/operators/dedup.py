@@ -496,6 +496,41 @@ def write_digest_index(
     )
 
 
+def compact_digest_index(
+    spark,
+    index_paths: list[str],
+    out_path: str,
+    n_buckets: int = 32,
+) -> str:
+    """Fold many digest-index deltas into ONE bucketed index — the
+    content-dedup analog of FrontierScheduler.compact_seen (and of
+    Iceberg rewrite-data-files): incremental ingest appends a delta
+    index per batch (:func:`write_digest_index`), and the per-task
+    probe cost of :func:`filter_new_digests` grows with the delta
+    count until a periodic compaction folds them.
+
+    Overlapping digests keep the LOWEST keeper_id, so the fold is
+    order-independent: the same keeper wins no matter how the deltas
+    are grouped or which batch indexed the content first (min is
+    associative) — pinned by ``test_digest_compaction``.  One read +
+    one groupBy shuffle on the 16-byte digest + one partitioned
+    write; linear in index size, bucket-parallel."""
+    from functools import reduce as _reduce
+
+    dfs = [
+        spark.read.parquet(p).select("keeper_id", "digest") for p in index_paths
+    ]
+    merged = (
+        _reduce(lambda a, b: a.unionByName(b), dfs)
+        .groupBy("digest")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .withColumn("bucket", F.pmod(F.hash("digest"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    return out_path
+
+
 def filter_new_digests(
     docs: DataFrame,
     index_paths: list[str],

@@ -139,6 +139,35 @@ def pages_from_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     engine's pages shape.  Only ``response`` records with a target
     URI are emitted, in bounded-size Arrow batches."""
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return _parse_warc_files(files)
+
+
+def stream_pages_from_warc(
+    spark: SparkSession, path_glob: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """STREAMING variant: watch a directory for newly-landed WARC
+    archives (the Common-Crawl-dump ingest shape — shards arrive over
+    hours) and emit their records as an unbounded pages stream.
+
+    ``binaryFile`` is a file-based streaming source, so this is the
+    same one-task-per-archive scale model as the batch reader with
+    exactly-once file tracking from the streaming checkpoint;
+    ``max_files_per_trigger`` bounds micro-batch size (archives per
+    trigger).  Compose with ``streaming/stream.py`` (windowed metrics,
+    stateful dedup, budget gate) like any other pages stream."""
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path_glob).select("path", "content")
+    return _parse_warc_files(files)
+
+
+def _parse_warc_files(files: DataFrame) -> DataFrame:
+    """(path, content) archive rows -> parsed pages (shared by the
+    batch and streaming readers — identical record semantics)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {"url": [], "warc_ts": [], "html": []}

@@ -135,3 +135,50 @@ def test_minhash_cleanup_contract(spark):
     assert len(held) == 1 and held[0].is_cached
     held[0].unpersist(blocking=True)
     assert not held[0].is_cached
+
+
+def test_digest_compaction(spark, tmp_path):
+    """compact_digest_index folds delta indexes losslessly: membership
+    after compaction equals membership against the delta list, and
+    overlapping digests keep the lowest keeper_id (order-independent
+    fold)."""
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.operators.dedup import (
+        compact_digest_index,
+        filter_new_digests,
+        write_digest_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = docs.filter(F.col("doc_id") % 3 == 0)
+    # overlap: delta 2 re-indexes some of delta 1's content with HIGHER ids
+    d2 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+        d1.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    write_digest_index(d1, p1, n_buckets=8)
+    write_digest_index(d2, p2, n_buckets=8)
+    pc = compact_digest_index(spark, [p1, p2], str(tmp_path / "c"), n_buckets=8)
+
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    via_deltas = set(
+        r["text_md5"]
+        for r in filter_new_digests(batch, [p1, p2], n_buckets=8).collect()
+    )
+    via_compact = set(
+        r["text_md5"]
+        for r in filter_new_digests(batch, [pc], n_buckets=8).collect()
+    )
+    assert via_deltas == via_compact
+
+    # overlapping digests resolved to the LOWEST keeper_id
+    comp = spark.read.parquet(pc)
+    assert comp.groupBy("digest").count().filter("count > 1").count() == 0
+    dup_digests = (
+        spark.read.parquet(p1).select("digest")
+        .intersect(spark.read.parquet(p2).select("digest"))
+    )
+    joined = comp.join(dup_digests, "digest")
+    assert joined.filter(F.col("keeper_id") >= 1_000_000).count() == 0
+    assert joined.count() > 0  # the overlap really existed

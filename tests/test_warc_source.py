@@ -160,3 +160,54 @@ def test_warc_multi_archive_parallelism(spark, tmp_path):
     assert len(by_pid) >= 2
     for hosts in by_pid.values():
         assert len(hosts) <= max(1, n_files // len(by_pid) + 1)
+
+
+def test_warc_streaming_source(spark, tmp_path):
+    """Archives landing over time stream through as pages micro-batches
+    with exactly-once file tracking; record semantics identical to the
+    batch reader."""
+    import os
+    import time
+
+    from crypto_crawler_rs_spark.sources.warc import stream_pages_from_warc
+
+    land = tmp_path / "land"
+    os.makedirs(land)
+
+    def shard(a, n=6):
+        recs = [
+            (f"https://w{a}.example.com/p/{i}", "2024-04-04T00:00:00Z",
+             f"<html><p>w{a} r{i} \r\n\r\n x</p></html>".encode())
+            for i in range(n)
+        ]
+        write_warc(recs, str(land / f"in-{a}.warc.gz"), compress="members")
+        return {u for u, _, _ in recs}
+
+    expect = shard(0)
+    stream = stream_pages_from_warc(
+        spark, str(land / "*.warc.gz"), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        def wait_for(n, timeout=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if spark.sql("SELECT count(*) c FROM warc_stream").collect()[0]["c"] >= n:
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"stream never reached {n} rows")
+
+        wait_for(6)
+        expect |= shard(1)  # second archive lands mid-stream
+        wait_for(12)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT url, html FROM warc_stream").collect()
+    assert {r["url"] for r in got} == expect
+    assert len(got) == 12  # exactly-once: no file re-ingested
+    assert all(bytes(r["html"]).startswith(b"<html>") for r in got)
