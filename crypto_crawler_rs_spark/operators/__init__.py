@@ -2,8 +2,12 @@ from .rank import global_rank
 from .pop import pop_per_host
 from .packing import pack_commands
 from .dedup import (
+    compact_digest_index,
     exact_dedup,
+    filter_new_digests,
+    shingle_rows,
     word_shingles,
+    write_digest_index,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -13,7 +17,9 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    learn_ivf_centroids,
     cosine_neardup_pairs,
     lsh_bucket_signatures,
     with_unit_vectors,
@@ -25,8 +31,12 @@ __all__ = [
     "global_rank",
     "pop_per_host",
     "pack_commands",
+    "compact_digest_index",
     "exact_dedup",
+    "filter_new_digests",
+    "shingle_rows",
     "word_shingles",
+    "write_digest_index",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -34,7 +44,9 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "learn_ivf_centroids",
     "cosine_neardup_pairs",
     "lsh_bucket_signatures",
     "with_unit_vectors",

@@ -1,5 +1,15 @@
-from .state import StateStore
-from .frontier import FrontierScheduler, FrontierConfig
+from .frontier import FrontierConfig, FrontierScheduler
+from .iceberg import IcebergStateStore, IcebergUnavailable, iceberg_available
 from .oracle import OracleCrawler
+from .state import FlatStateStore, StateStore
 
-__all__ = ["StateStore", "FrontierScheduler", "FrontierConfig", "OracleCrawler"]
+__all__ = [
+    "FlatStateStore",
+    "FrontierConfig",
+    "FrontierScheduler",
+    "IcebergStateStore",
+    "IcebergUnavailable",
+    "OracleCrawler",
+    "StateStore",
+    "iceberg_available",
+]
