@@ -40,14 +40,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 ROBOTS_POLICY_SCHEMA = (
-    "host string, robots_disallow array<string>, robots_allow array<string>"
+    "host string, robots_disallow array<string>, robots_allow array<string>, "
+    "robots_crawl_delay double"
 )
 
 
-def parse_robots_txt(content: str, user_agent: str = "*") -> tuple[list[str], list[str]]:
-    """(disallow_prefixes, allow_prefixes) for ``user_agent`` —
-    pure-python single-document parser (the executor kernel, also the
-    test twin)."""
+def parse_robots_txt(
+    content: str, user_agent: str = "*"
+) -> tuple[list[str], list[str], float | None]:
+    """(disallow_prefixes, allow_prefixes, crawl_delay_seconds) for
+    ``user_agent`` — pure-python single-document parser (the executor
+    kernel, also the test twin).  Crawl-delay is the de-facto
+    extension most crawlers honor; the engine's per-host
+    ``crawl_delay_rounds`` knob is its round-cadence analog (the
+    seconds→rounds mapping is a deployment choice)."""
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, str]] = []
@@ -65,11 +71,11 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> tuple[list[str], li
                 agents, rules = [], []
             agents.append(val.lower())
             in_group_header = True
-        elif key in ("disallow", "allow"):
+        elif key in ("disallow", "allow", "crawl-delay"):
             if agents:
                 rules.append((key, val))
                 in_group_header = False
-        # other directives (crawl-delay, sitemap, ...) are ignored here
+        # other directives (sitemap, host, ...) are ignored here
     if agents:
         groups.append((agents, rules))
 
@@ -83,8 +89,9 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> tuple[list[str], li
                 best_len = max(best_len, len(a))
     dis: list[str] = []
     allow: list[str] = []
+    delay: float | None = None
     if best_len < 0:
-        return dis, allow
+        return dis, allow, delay
     for ags, rls in groups:
         match = any(
             (a == "*" and best_len == 0) or (a != "*" and a in ua and len(a) == best_len)
@@ -95,8 +102,14 @@ def parse_robots_txt(content: str, user_agent: str = "*") -> tuple[list[str], li
         for key, val in rls:
             if not val:
                 continue  # empty Disallow/Allow = no rule
+            if key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+                continue
             (dis if key == "disallow" else allow).append(val)
-    return dis, allow
+    return dis, allow, delay
 
 
 def robots_policy(
@@ -123,6 +136,7 @@ def robots_policy(
                     "host": pdf[host_col].to_numpy(),
                     "robots_disallow": [p[0] for p in parsed],
                     "robots_allow": [p[1] for p in parsed],
+                    "robots_crawl_delay": [p[2] for p in parsed],
                 }
             )
 

@@ -30,31 +30,39 @@ User-agent: Spark
 Disallow: /short-agent
 """
     # '*' group for an unknown agent
-    dis, allow = parse_robots_txt(txt, "randombot/1.0")
-    assert dis == ["/private", "/tmp/"] and allow == []
+    dis, allow, delay = parse_robots_txt(txt, "randombot/1.0")
+    assert dis == ["/private", "/tmp/"] and allow == [] and delay is None
     # longest matching agent token wins (sparkbot > spark)
-    dis, allow = parse_robots_txt(txt, "SparkBot/2.1")
+    dis, allow, _ = parse_robots_txt(txt, "SparkBot/2.1")
     assert dis == ["/spark-only"] and allow == ["/spark-only/docs"]
     # shorter token when only it matches
-    dis, _ = parse_robots_txt(txt, "sparkling-crawler")
+    dis, _, _ = parse_robots_txt(txt, "sparkling-crawler")
     assert dis == ["/short-agent"]
 
 
 def test_parser_edge_cases():
     # case-insensitive directives, CRLF, comments, empty Disallow
     txt = "USER-AGENT: *\r\nDISALLOW: /a # trailing comment\r\nDisallow:\r\n"
-    dis, allow = parse_robots_txt(txt, "*")
-    assert dis == ["/a"] and allow == []
+    dis, allow, delay = parse_robots_txt(txt, "*")
+    assert dis == ["/a"] and allow == [] and delay is None
     # no matching group at all -> everything allowed
-    assert parse_robots_txt("User-agent: onlybot\nDisallow: /x\n", "me") == ([], [])
+    assert parse_robots_txt("User-agent: onlybot\nDisallow: /x\n", "me") == (
+        [], [], None,
+    )
     # rules before any User-agent line are ignored
     assert parse_robots_txt("Disallow: /x\nUser-agent: *\nDisallow: /y\n", "z") == (
         ["/y"],
         [],
+        None,
     )
+    # Crawl-delay parses per-group; junk values ignored
+    txt2 = ("User-agent: *\nCrawl-delay: 2.5\nDisallow: /q\n\n"
+            "User-agent: fastbot\nCrawl-delay: zero\n")
+    assert parse_robots_txt(txt2, "slowbot") == (["/q"], [], 2.5)
+    assert parse_robots_txt(txt2, "fastbot")[2] is None
     # merged groups: two groups naming '*' both apply
-    txt2 = "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n"
-    assert parse_robots_txt(txt2, "any")[0] == ["/one", "/two"]
+    txt3 = "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n"
+    assert parse_robots_txt(txt3, "any")[0] == ["/one", "/two"]
 
 
 def test_robots_chain_drives_identical_crawl(spark, tmp_path):
