@@ -54,7 +54,19 @@ def main():
             check=True,
         )
 
+    out_path = os.path.join(repo, "BENCH", "AB_FRONTIER.json")
     pairs = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            # accumulate evidence across sessions for the same
+            # comparison (pairs are self-normalizing, so merging is
+            # sound even across machine-state changes)
+            if prev.get("ref_commit") == args.ref and prev.get("cpus") == args.cpus:
+                pairs = prev.get("pairs", [])
+        except (OSError, json.JSONDecodeError):
+            pass
     for i in range(args.pairs):
         order = (
             [("head", repo), ("ref", wt)]
