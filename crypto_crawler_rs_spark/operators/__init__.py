@@ -26,6 +26,10 @@ from .similarity import (
 )
 from .multimodal import extract_media_features, gen_media_fixture, sniff_format
 from .seenjoin import filter_unseen_bucket_pruned
+from .dedup import chunk_dedup
+from .graphrank import pagerank, pagerank_oracle_sql, ranks_to_policy
+from .politeness import ewma_policy, host_ewma_delay
+from .traps import suppress_traps, trap_patterns
 
 __all__ = [
     "global_rank",
@@ -54,4 +58,12 @@ __all__ = [
     "gen_media_fixture",
     "sniff_format",
     "filter_unseen_bucket_pruned",
+    "chunk_dedup",
+    "pagerank",
+    "pagerank_oracle_sql",
+    "ranks_to_policy",
+    "ewma_policy",
+    "host_ewma_delay",
+    "suppress_traps",
+    "trap_patterns",
 ]

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -600,3 +600,77 @@ def filter_new_digests(
             yield pdf.loc[mask, [id_col, "text_md5"]]
 
     return part.mapInPandas(run, schema=out_schema)
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """CCNet-style chunk-level exact dedup: split every document into
+    non-overlapping ``chunk_words``-word chunks, keep only the FIRST
+    corpus-wide occurrence of each chunk (first = lowest
+    ``(doc_id, chunk_idx)``, the CCNet paragraph-dedup convention),
+    and reassemble each document from its surviving chunks.
+
+    Returns one row per input doc:
+    ``(doc_id, text_dedup, n_chunks, n_kept)`` — ``text_dedup`` is ''
+    for a document whose every chunk first appeared elsewhere (the
+    fully-boilerplate page that web dedup exists to drop).
+
+    Spark shape: chunking is pure higher-order functions inside
+    whole-stage codegen (sequence/transform/slice — the same
+    materialize-the-token-array-first rule as :func:`word_shingles`);
+    first-occurrence is ONE row_number window partitioned by
+    ``md5(chunk)`` (16-byte shuffle key, not the chunk text);
+    reassembly is ONE groupBy(doc) with an order-struct collect.  Two
+    shuffles total, both hash-partitioned and combiner-friendly —
+    exactly the CCNet sharded-hash layout re-expressed declaratively.
+
+    Reference analog: the dedup responsibility of the reference's
+    seen-set (crypto-crawler/src/crawlers/utils.rs:557-561) applied to
+    page CONTENT instead of urls — sub-document granularity is what a
+    training-data pipeline needs (boilerplate navigation/footer chunks
+    repeat across most pages of a host).
+    """
+    w = chunk_words
+    words_col = "_cd_words"
+    out = df.select(id_col, text_col).withColumn(
+        words_col, F.split(F.col(text_col), " ")
+    )
+    words = F.col(words_col)
+    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * w + 1, w)),
+    )
+    exploded = out.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
+    flagged = exploded.withColumn(
+        "kept", (F.row_number().over(first) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1,
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_dedup"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
