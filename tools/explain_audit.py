@@ -114,6 +114,32 @@ CHECKS = {
         "persistent digest index NEVER enters the plan (no join): tasks "
         "read only their bucket's index files",
     ),
+    # round 4 additions
+    "pagerank_hostrank": (
+        [r"Window", r"Scan ExistingRDD"],
+        [r"Join", r"CartesianProduct"],
+        "final plan is FLAT over the localCheckpoint'd ranks (Scan "
+        "ExistingRDD): per-iteration lineage truly truncated — no join "
+        "history re-derived at action time",
+    ),
+    "dedup_chunk": (
+        [r"HashAggregate", r"Window", r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"Exchange SinglePartition", r"CartesianProduct"],
+        "chunking in codegen; first-occurrence window partitioned by "
+        "md5(chunk); reassembly agg — both shuffles hash-partitioned",
+    ),
+    "url_trap_patterns": (
+        [r"HashAggregate", r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"],
+        [r"Exchange SinglePartition", r"BatchEvalPython"],
+        "pure-JVM masking + distinct-count agg; scan pruned to 2 cols; "
+        "no Python in the plan",
+    ),
+    "politeness_ewma": (
+        [r"FlatMapGroupsInPandas", r"hashpartitioning\(host"],
+        [r"Exchange SinglePartition"],
+        "per-host EWMA fold: one hash exchange on host, Arrow-grouped "
+        "pandas ewm kernel",
+    ),
 }
 
 
