@@ -127,6 +127,18 @@ class FrontierConfig:
     #                    n_seen_buckets so one bucket's urls fit a
     #                    task; operators/seenjoin.py)
     seen_anti_join: str = "shuffle"
+    # crawler-trap suppression (operators/traps.py): when set, each
+    # round counts confirmed-NEW discovered urls per (host,
+    # digit-masked path template) into a cumulative template table
+    # (template-cardinality — orders below the url count, broadcast-
+    # sized); templates whose cumulative fanout reaches this value are
+    # anti-joined out of discovery from then on.  The cumulative sum
+    # is an UPPER bound on the template's distinct-url fanout (a url
+    # discovered while still waiting in the frontier can re-count
+    # until it is fetched into the seen set) — conservative in the
+    # right direction for a suppression heuristic.  None disables
+    # (default — the oracle models no traps).
+    trap_min_urls: int | None = None
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
@@ -250,6 +262,50 @@ class FrontierScheduler:
     @property
     def _seen_partition_by(self) -> str | None:
         return "bucket" if self.cfg.seen_anti_join == "bucket_pruned" else None
+
+    # -- trap suppression ----------------------------------------------
+    def _suppress_traps(
+        self, discovered: DataFrame, prev_path: str | None, rnd: int
+    ) -> tuple[DataFrame, str]:
+        """Fold this round's discovered urls into the cumulative
+        (host, digit-masked template) fanout table and anti-join out
+        templates at/over ``cfg.trap_min_urls`` (operators/traps.py
+        semantics inside the round loop).
+
+        Scale: the counts table is template-cardinality — the groupBy
+        shuffles template keys, not urls, and the flagged slice
+        broadcasts.  The merged table is snapshotted per round like
+        every other state table, so resume keeps trap memory."""
+        from ..operators.traps import _DIGITS
+
+        pattern = F.regexp_replace(
+            F.regexp_replace(
+                F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+            ),
+            _DIGITS,
+            "N",
+        )
+        keyed = discovered.withColumn("pattern", pattern)
+        counts = keyed.groupBy("host", "pattern").agg(
+            F.count("*").alias("n_urls")
+        )
+        prev = self.store.read(prev_path) if prev_path else None
+        if prev is not None:
+            counts = (
+                counts.unionByName(prev.select("host", "pattern", "n_urls"))
+                .groupBy("host", "pattern")
+                .agg(F.sum("n_urls").alias("n_urls"))
+            )
+        new_path = self.store.write(counts, rnd, "trap_counts")
+        flagged = (
+            self.store.read(new_path)
+            .filter(F.col("n_urls") >= F.lit(self.cfg.trap_min_urls))
+            .select("host", "pattern")
+        )
+        out = keyed.join(
+            F.broadcast(flagged), ["host", "pattern"], "left_anti"
+        ).drop("pattern")
+        return out, new_path
 
     # -- init / resume --------------------------------------------------
     def init_state(self, seeds: DataFrame) -> dict:
@@ -811,6 +867,12 @@ class FrontierScheduler:
             confirmed_new.select("url", "host", "depth")
         )
 
+        trap_path = manifest.get("trap_counts")
+        if cfg.trap_min_urls is not None:
+            discovered, trap_path = self._suppress_traps(
+                discovered, trap_path, rnd
+            )
+
         # next frontier: waiting ∪ deferred ∪ discovered, min depth per url
         next_frontier = (
             waiting.select("url", "host", "depth")
@@ -926,6 +988,8 @@ class FrontierScheduler:
                 "n_seen_buckets", cfg.n_seen_buckets
             ),
         }
+        if trap_path is not None:
+            new_manifest["trap_counts"] = trap_path
         if cfg.profile_rounds:
             _mark("finalize")
             new_manifest["timings"] = {

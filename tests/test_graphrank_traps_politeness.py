@@ -204,3 +204,82 @@ def test_ewma_policy_overlays_only_observed_hosts(spark):
     out = ewma_policy(delays, base).toPandas().set_index("host")
     assert out.loc["a", "crawl_delay_rounds"] == 10  # ceil(950/100)
     assert out.loc["b", "crawl_delay_rounds"] == 2  # static default kept
+
+
+# ------------------------------------------------- engine trap suppression
+def _trap_corpus(spark):
+    """Seed page links a calendar trap (/cal/N, 8 distinct urls) and
+    two benign pages; trap pages link further into the trap."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url, f"<html>{body}</html>".encode())
+
+    trap_urls = [f"https://t.example/cal/{i}" for i in range(8)]
+    rows = [
+        page(
+            "https://t.example/",
+            trap_urls[:4] + ["https://t.example/about", "https://t.example/faq"],
+        ),
+        page("https://t.example/about", trap_urls[4:6]),
+        page("https://t.example/faq", trap_urls[6:]),
+    ] + [page(u, []) for u in trap_urls]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    policy = spark.createDataFrame(
+        [("t.example", 0, 100, [], 1, False)],
+        "host string, host_rank long, budget_per_round int, "
+        "robots_disallow array<string>, crawl_delay_rounds int, is_hot boolean",
+    )
+    seeds = spark.createDataFrame(
+        [("https://t.example/", 0)], "url string, depth int"
+    )
+    return pages, policy, seeds
+
+
+def test_frontier_trap_suppression_blocks_flagged_templates(spark, tmp_path):
+    from crypto_crawler_rs_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierScheduler,
+    )
+
+    pages, policy, seeds = _trap_corpus(spark)
+    eng = FrontierScheduler(
+        spark,
+        pages,
+        policy,
+        str(tmp_path / "trap_state"),
+        FrontierConfig(max_rounds=6, trap_min_urls=4, n_seen_buckets=4),
+    )
+    m = eng.run(seeds, max_rounds=6)
+    fetched = {r.url for r in eng.fetched(m).select("url").collect()}
+    # benign pages crawled
+    assert {"https://t.example/", "https://t.example/about",
+            "https://t.example/faq"} <= fetched
+    # the /cal/N template hit min_urls=4 in round 1's discovery and
+    # was suppressed whole: no trap url is ever fetched
+    assert not any("/cal/" in u for u in fetched)
+    # trap memory persisted: cumulative counts table committed
+    assert "trap_counts" in m
+
+
+def test_frontier_trap_suppression_off_by_default_crawls_everything(
+    spark, tmp_path
+):
+    from crypto_crawler_rs_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierScheduler,
+    )
+
+    pages, policy, seeds = _trap_corpus(spark)
+    eng = FrontierScheduler(
+        spark,
+        pages,
+        policy,
+        str(tmp_path / "notrap_state"),
+        FrontierConfig(max_rounds=6, n_seen_buckets=4),
+    )
+    m = eng.run(seeds, max_rounds=6)
+    fetched = {r.url for r in eng.fetched(m).select("url").collect()}
+    assert sum("/cal/" in u for u in fetched) == 8  # all trap urls crawled
+    assert "trap_counts" not in m
