@@ -27,7 +27,13 @@ from .similarity import (
 from .multimodal import extract_media_features, gen_media_fixture, sniff_format
 from .seenjoin import filter_unseen_bucket_pruned
 from .dedup import chunk_dedup
-from .graphrank import pagerank, pagerank_oracle_sql, ranks_to_policy
+from .graphrank import (
+    host_edges,
+    pagerank,
+    pagerank_oracle_sql,
+    ranks_to_policy,
+    refresh_host_rank,
+)
 from .politeness import ewma_policy, host_ewma_delay
 from .traps import suppress_traps, trap_patterns
 
@@ -62,6 +68,8 @@ __all__ = [
     "pagerank",
     "pagerank_oracle_sql",
     "ranks_to_policy",
+    "host_edges",
+    "refresh_host_rank",
     "ewma_policy",
     "host_ewma_delay",
     "suppress_traps",

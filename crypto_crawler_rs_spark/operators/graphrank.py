@@ -205,3 +205,57 @@ SELECT node,
          ORDER BY ROUND(rank, {round_digits}) DESC, node) AS BIGINT) AS rank_pos
 FROM r{n_iter}"""
     return pre + "".join(its) + final
+
+
+def host_edges(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Derive the (src, dst) HOST link graph from a pages table —
+    the input :func:`pagerank` needs to compute a crawl-derived rank
+    policy (the reference refreshes its rank table hourly from an
+    external API, cmc_rank.rs:275-312; an open-web crawler derives it
+    from its own crawl instead).
+
+    Outlink extraction and canonicalization reuse the engine's Arrow
+    UDFs (functions/text.outlinks_udf, functions/urls) so the graph
+    agrees byte-for-byte with what discovery would schedule.  Output
+    is pre-deduped at host granularity: the explode fans out to link
+    cardinality, but the groupBy collapses to host-pair cardinality
+    before anything else shuffles on it.
+    """
+    from ..functions.text import outlinks_udf
+    from ..functions.urls import canonicalize_udf, host_col
+
+    u = F.col(url_col)
+    return (
+        pages.select(
+            host_col(canonicalize_udf(u)).alias("src"),
+            F.explode(outlinks_udf(F.col(html_col))).alias("raw"),
+        )
+        .withColumn("dst", host_col(canonicalize_udf(F.col("raw"))))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .count()
+        .drop("count")
+    )
+
+
+def refresh_host_rank(
+    base_policy: DataFrame,
+    ranks: DataFrame,
+    step: int = 10,
+) -> DataFrame:
+    """Overlay crawl-computed PageRank onto an existing frontier
+    policy table: hosts present in ``ranks`` get their ``host_rank``
+    replaced by the computed position, unknown hosts keep their
+    static rank (the same overlay contract as
+    operators/politeness.ewma_policy).  Both sides are
+    host-cardinality; the join broadcasts."""
+    computed = ranks_to_policy(ranks, step=step).withColumnRenamed(
+        "host_rank", "_computed_rank"
+    )
+    return (
+        base_policy.join(F.broadcast(computed), "host", "left")
+        .withColumn(
+            "host_rank", F.coalesce("_computed_rank", "host_rank")
+        )
+        .drop("_computed_rank")
+    )

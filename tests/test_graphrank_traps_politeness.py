@@ -283,3 +283,46 @@ def test_frontier_trap_suppression_off_by_default_crawls_everything(
     fetched = {r.url for r in eng.fetched(m).select("url").collect()}
     assert sum("/cal/" in u for u in fetched) == 8  # all trap urls crawled
     assert "trap_counts" not in m
+
+
+# ----------------------------------------------- crawl-derived rank refresh
+def test_host_edges_and_rank_refresh_close_the_loop(spark):
+    """The reference refreshes its rank table hourly from an external
+    API (cmc_rank.rs:275-312); here the crawl's own pages produce the
+    rank: host_edges -> pagerank -> refresh_host_rank overlays the
+    computed position onto the static policy."""
+    from crypto_crawler_rs_spark.operators.graphrank import (
+        host_edges,
+        pagerank,
+        refresh_host_rank,
+    )
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url, f"<html>{body}</html>".encode())
+
+    # b.test and c.test both link to a.test; a.test links to b.test
+    pages = spark.createDataFrame(
+        [
+            page("https://b.test/", ["https://a.test/x", "https://a.test/y"]),
+            page("https://c.test/", ["https://a.test/z"]),
+            page("https://a.test/", ["https://b.test/p"]),
+        ],
+        "url string, html binary",
+    )
+    edges = host_edges(pages).toPandas()
+    assert set(map(tuple, edges.values)) == {
+        ("b.test", "a.test"),
+        ("c.test", "a.test"),
+        ("a.test", "b.test"),
+    }  # host-granular, deduped (a.test/x and /y collapse to one edge)
+
+    ranks = pagerank(host_edges(pages), n_iter=20)
+    base = spark.createDataFrame(
+        [("a.test", 500), ("b.test", 500), ("unknown.test", 7)],
+        "host string, host_rank long",
+    )
+    out = refresh_host_rank(base, ranks).toPandas().set_index("host")
+    assert out.loc["a.test", "host_rank"] == 0  # most-linked host -> hottest
+    assert out.loc["b.test", "host_rank"] == 10
+    assert out.loc["unknown.test", "host_rank"] == 7  # static rank kept
