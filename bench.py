@@ -424,6 +424,48 @@ def run_bloom_update(spark, n_rows: int = 2_000_000, n_shards: int = 32) -> dict
     }
 
 
+def run_pagerank(
+    spark, n_edges: int = 5_000_000, n_hosts: int = 200_000, n_iter: int = 5
+) -> dict:
+    """Scale point for the iterative graph-rank job
+    (operators/graphrank.pagerank — the computed host-rank source).
+    Synthetic host graph with deliberate skew: 1 in 4 edges lands in
+    a 1,000-host hot set (hub formation), the rest spread uniformly —
+    heterogeneous in-degrees like a real web host graph."""
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.operators.graphrank import pagerank
+
+    hot = 1_000
+    base = spark.range(n_edges)
+    edges = base.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(n_hosts)).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("h"),
+            F.when(
+                F.col("id") % 4 == 0,
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(hot)),
+            )
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_hosts)))
+            .cast("string"),
+        ).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    out = pagerank(edges, n_iter=n_iter)
+    n_nodes = out.count()
+    wall = time.perf_counter() - t0
+    return {
+        "n_edges": n_edges,
+        "n_hosts": n_hosts,
+        "n_iter": n_iter,
+        "n_nodes_ranked": n_nodes,
+        "wall_sec": round(wall, 2),
+        "edge_iters_per_sec": round(n_edges * n_iter / wall, 1),
+    }
+
+
 def run_seenjoin(
     spark,
     seen_sizes=(250_000, 1_000_000, 4_000_000),
@@ -604,6 +646,7 @@ def main():
     ap.add_argument("--seenjoin-only", action="store_true")
     ap.add_argument("--compaction-only", action="store_true")
     ap.add_argument("--bloom-only", action="store_true")
+    ap.add_argument("--pagerank-only", action="store_true")
     ap.add_argument("--profile", action="store_true",
                     help="with --frontier-only: per-phase wall attribution")
     ap.add_argument("--prod-family-only", action="store_true")
@@ -652,6 +695,14 @@ def main():
         spark = _spark(args.cpus)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         res = run_bloom_update(spark)
+        spark.stop()
+        print(json.dumps(res))
+        return
+
+    if args.pagerank_only:
+        spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = run_pagerank(spark)
         spark.stop()
         print(json.dumps(res))
         return
@@ -709,6 +760,7 @@ def main():
         seenjoin = sub(["--seenjoin-only", "--cpus", "32"])
         compaction = sub(["--compaction-only", "--cpus", "32"])
         bloom_update = sub(["--bloom-only", "--cpus", "32"])
+        pagerank_b = sub(["--pagerank-only", "--cpus", "32"])
         summary = {
             "kernel_detail": kernel,
             "kernel_100m": kernel_100m,
@@ -717,6 +769,7 @@ def main():
             "seenjoin_crossover": seenjoin,
             "compaction": compaction,
             "bloom_update": bloom_update,
+            "pagerank": pagerank_b,
         }
         summary = _merge_scaling(summary)
         k = {c: summary["kernel_detail"][c]["urls_per_sec"]
@@ -963,6 +1016,24 @@ The distributed branch ships one {b['filter_mb']} MB bitmap set per
 round instead of the delta's raw rows, keeps the hash work on
 executors, and is the measured path in the `--big --scale-config`
 pipeline run (distributed_bloom_threshold=0).
+""")
+    g = summary.get("pagerank")
+    if g:
+        out.append(f"""### 2.8 Link-graph PageRank (periodic rank refresh)
+
+The computed host-rank source (operators/graphrank.pagerank — the
+crawl-derived replacement for the reference's hourly external rank
+fetch).  Skewed synthetic host graph, {g['n_edges']:,} edges over
+{g['n_hosts']:,} hosts (1 in 4 edges lands in a 1,000-host hot set),
+{g['n_iter']} power iterations (`python bench.py --pagerank-only`):
+**{g['wall_sec']}s = {g['edge_iters_per_sec']:,.0f} edge-iterations/sec**,
+{g['n_nodes_ranked']:,} hosts ranked.  Per iteration: one ranks-side
+shuffle into the co-partitioned persisted edge list + one
+combiner-backed groupBy(dst); lineage is cut per iteration
+(localCheckpoint), so cost is linear in iterations.  A rank refresh
+is periodic maintenance (the reference refreshes hourly) — at this
+rate a 10^9-edge host graph ranks in ~{round(1e9 * g['n_iter'] / g['edge_iters_per_sec'] / 60, 0):.0f}
+machine-minutes, amortized across the rounds between refreshes.
 """)
     return ("\n".join(out) + "\n") if out else ""
 
