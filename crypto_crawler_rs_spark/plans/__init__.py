@@ -1,4 +1,8 @@
-from .frontier import FrontierConfig, FrontierScheduler
+from .frontier import (
+    FrontierConfig,
+    FrontierScheduler,
+    materialize_canonical_pages,
+)
 from .iceberg import IcebergStateStore, IcebergUnavailable, iceberg_available
 from .oracle import OracleCrawler
 from .state import FlatStateStore, StateStore
@@ -12,4 +16,5 @@ __all__ = [
     "OracleCrawler",
     "StateStore",
     "iceberg_available",
+    "materialize_canonical_pages",
 ]

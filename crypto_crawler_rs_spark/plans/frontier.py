@@ -139,10 +139,68 @@ class FrontierConfig:
     # right direction for a suppression heuristic.  None disables
     # (default — the oracle models no traps).
     trap_min_urls: int | None = None
+    # pages were pre-materialized canonical + deduped + url-bucketed
+    # (materialize_canonical_pages): skip the per-session canonicalize
+    # UDF pass, the recrawl dedup, AND the cache/repartition — the
+    # bucketed table's own distribution makes the fetch join
+    # one-sided.  This is the 100 TB configuration; the default
+    # (False) canonicalizes + caches for ad-hoc corpora.
+    pages_canonical: bool = False
     unknown_rank: int = UNKNOWN_RANK
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
     max_backoff: int = MAX_BACKOFF
+
+
+def materialize_canonical_pages(
+    pages: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """One-off 100 TB preparation job: canonicalize urls, collapse
+    re-crawls to the latest capture, and save url-BUCKETED so every
+    subsequent crawl session's fetch join is one-sided (scheduled
+    side shuffles into the bucketing; the pages table never moves).
+
+    Pair with ``FrontierConfig(pages_canonical=True,
+    cache_pages=False)`` and ``spark.table(table)``.  On a cluster
+    the same statement targets an Iceberg table with
+    ``bucket(n, url)`` partitioning; locally it lands in the session
+    warehouse (in-session catalog) which is enough to pin the plan
+    shape in tests.
+    """
+    spark = pages.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed prior session can leave the managed location behind
+    # with no catalog entry — saveAsTable then refuses
+    # (LOCATION_ALREADY_EXISTS).  Local-filesystem cleanup only; a
+    # real catalog's DROP TABLE reclaims the location itself.
+    import os as _os
+    import shutil as _shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    stale = _os.path.join(wh, table.lower())
+    if _os.path.isdir(stale):
+        _shutil.rmtree(stale)
+
+    canon = pages.withColumn("url", canonicalize_udf(F.col("url")))
+    if "warc_ts" in pages.columns:
+        canon = canon.groupBy("url").agg(
+            F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias("html")
+        )
+    else:
+        canon = canon.groupBy("url").agg(
+            F.expr("max_by(html, xxhash64(html))").alias("html")
+        )
+    (
+        canon.write.bucketBy(n_buckets, "url")
+        .sortBy("url")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return pages.sparkSession.table(table)
 
 
 class FrontierScheduler:
@@ -168,16 +226,30 @@ class FrontierScheduler:
         # scale: pages is the 100 TB table — this projection prunes to
         # (url, html) at scan time; bucketing pages by url would make
         # the fetch join shuffle-free on a cluster.
-        self.pages = pages.withColumn("url", canonicalize_udf(F.col("url")))
-        if "warc_ts" in pages.columns:
-            # Common-Crawl corpora carry re-crawls of the same url; a
-            # fetch join against duplicates would duplicate scheduled
-            # rows (and ranks).  Keep the latest capture per canonical
-            # url, ties broken on content hash for determinism.
-            self.pages = self.pages.groupBy("url").agg(
-                F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias("html")
-            )
-        if self.cfg.cache_pages:
+        if self.cfg.pages_canonical:
+            # the 100 TB path: pages were materialized once via
+            # materialize_canonical_pages (canonical urls, one row per
+            # url, bucketed by url) — skip the per-session Arrow UDF
+            # pass and recrawl dedup entirely, and DON'T repartition:
+            # a url-bucketed table already exposes the join
+            # distribution, so the fetch join shuffles only the
+            # scheduled side (tests/test_bucketed_pages.py pins the
+            # one-sided exchange)
+            self.pages = pages.select("url", "html")
+        else:
+            self.pages = pages.withColumn("url", canonicalize_udf(F.col("url")))
+            if "warc_ts" in pages.columns:
+                # Common-Crawl corpora carry re-crawls of the same
+                # url; a fetch join against duplicates would duplicate
+                # scheduled rows (and ranks).  Keep the latest capture
+                # per canonical url, ties broken on content hash for
+                # determinism.
+                self.pages = self.pages.groupBy("url").agg(
+                    F.expr(
+                        "max_by(html, struct(warc_ts, xxhash64(html)))"
+                    ).alias("html")
+                )
+        if self.cfg.cache_pages and not self.cfg.pages_canonical:
             # cache the (url, html) fetch projection so the
             # canonicalize UDF runs once, not once per round-job, and
             # pre-partition it on the join key: InMemoryTableScan

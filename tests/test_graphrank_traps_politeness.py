@@ -326,3 +326,26 @@ def test_host_edges_and_rank_refresh_close_the_loop(spark):
     assert out.loc["a.test", "host_rank"] == 0  # most-linked host -> hottest
     assert out.loc["b.test", "host_rank"] == 10
     assert out.loc["unknown.test", "host_rank"] == 7  # static rank kept
+
+
+def test_pagerank_tol_early_stop_matches_converged(spark):
+    """tol stops iteration once the L1 delta is below threshold; the
+    result must agree with a long fixed run to well inside the
+    rounding precision."""
+    from crypto_crawler_rs_spark.operators.graphrank import pagerank
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "b")],
+    )
+    fixed = (
+        pagerank(e, n_iter=60)
+        .toPandas().sort_values("node").reset_index(drop=True)
+    )
+    early = (
+        pagerank(e, n_iter=60, tol=1e-9)
+        .toPandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (early.node == fixed.node).all()
+    assert (early["rank"] - fixed["rank"]).abs().max() <= 1e-6
+    assert (early.rank_pos == fixed.rank_pos).all()
