@@ -35,6 +35,7 @@ from .graphrank import (
     refresh_host_rank,
 )
 from .politeness import ewma_policy, host_ewma_delay
+from .prep import prep_corpus
 from .traps import suppress_traps, trap_patterns
 
 __all__ = [
@@ -72,6 +73,7 @@ __all__ = [
     "refresh_host_rank",
     "ewma_policy",
     "host_ewma_delay",
+    "prep_corpus",
     "suppress_traps",
     "trap_patterns",
 ]

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -622,11 +622,17 @@ def chunk_dedup(
     Spark shape: chunking is pure higher-order functions inside
     whole-stage codegen (sequence/transform/slice — the same
     materialize-the-token-array-first rule as :func:`word_shingles`);
-    first-occurrence is ONE row_number window partitioned by
-    ``md5(chunk)`` (16-byte shuffle key, not the chunk text);
-    reassembly is ONE groupBy(doc) with an order-struct collect.  Two
-    shuffles total, both hash-partitioned and combiner-friendly —
-    exactly the CCNet sharded-hash layout re-expressed declaratively.
+    first-occurrence is a ``min_by`` AGGREGATE on ``md5(chunk)``
+    (16-byte shuffle key, not the chunk text) joined back on the
+    hash, NOT a row_number window: at web scale one universal
+    boilerplate chunk (cookie banner, nav footer) puts 10^8 rows
+    under a single window key, and a window's hot partition cannot be
+    split — while the aggregate combines map-side to one row per
+    chunk before the exchange, and AQE's skew-join splitting handles
+    the join's probe side.  Reassembly is ONE groupBy(doc) with an
+    order-struct collect.  Three hash-partitioned shuffles, every one
+    combiner-friendly or skew-splittable — the CCNet sharded-hash
+    layout re-expressed declaratively.
 
     Reference analog: the dedup responsibility of the reference's
     seen-set (crypto-crawler/src/crawlers/utils.rs:557-561) applied to
@@ -648,10 +654,16 @@ def chunk_dedup(
     exploded = out.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).withColumn("_chash", F.md5("chunk"))
+    firsts = exploded.groupBy("_chash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")
     )
-    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
-    flagged = exploded.withColumn(
-        "kept", (F.row_number().over(first) == 1).cast("int")
+    flagged = exploded.join(firsts, "_chash").withColumn(
+        "kept",
+        (
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.chunk_idx") == F.col("chunk_idx"))
+        ).cast("int"),
     )
     return (
         flagged.groupBy(id_col)

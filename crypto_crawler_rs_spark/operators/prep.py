@@ -1,0 +1,95 @@
+"""End-to-end training-corpus preparation — the composed pipeline a
+user of this engine actually runs over crawled text.
+
+The reference stops at emitting raw per-message TSV
+(crypto-crawler/src/crawlers/utils.rs:557-580 — crawl output IS the
+product); a 100 TB web-text corpus needs the downstream pass too.
+This composes the engine's existing stages in the standard
+CCNet/C4-style order:
+
+    1. cheap JVM stats  (lang-ID, quality ratios, token counts —
+       whole-stage codegen, runs at scan speed)
+    2. quality gate     (language allowlist, token-count band,
+       stopword/distinct ratio floors — a pure Filter, pushed as far
+       down as the expressions allow)
+    3. document-level exact dedup (md5 keeper = min doc_id — the
+       mirror/re-crawl case)
+    4. chunk-level dedup (CCNet first-occurrence boilerplate removal)
+
+Stage order is the cost argument: the JVM filter drops junk BEFORE
+anything shuffles; exact dedup runs BEFORE chunking so whole-document
+duplicates are dropped at one-hash-per-doc cost instead of being
+exploded into chunks that all die anyway (and chunk_dedup's global
+first-occurrence guarantee makes a post-chunk exact pass provably
+dead: every surviving chunk is corpus-unique, so no two prepped texts
+can collide).  Every stage is an existing audited operator — this
+file adds composition, not new physics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import lang_id, quality_features
+from .dedup import chunk_dedup
+
+
+def prep_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.0,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Returns one row per SURVIVING document:
+    ``(doc_id, text_prepped, lang, n_tokens, n_chunks, n_kept)``
+    where the document survived (a) the quality gate, (b) exact
+    dedup of the raw text (keeper = min doc_id), and (c) chunk dedup
+    leaving at least one chunk; ``text_prepped`` is the chunk-deduped
+    text.
+    """
+    stats = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(text_col).alias("lang"),
+        *quality_features(text_col),
+    )
+    gated = stats.where(
+        F.col("lang").isin(list(langs))
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    # exact dedup on raw text: min-doc_id keeper per md5, the same
+    # combiner-friendly agg+join shape as chunk_dedup's
+    # first-occurrence stage (one 16-byte hash per doc shuffles, not
+    # the text)
+    hashed = gated.withColumn("_md5", F.md5(text_col))
+    keepers = hashed.groupBy("_md5").agg(
+        F.min(F.col(id_col)).alias("_keeper")
+    )
+    unique_docs = (
+        hashed.join(keepers, "_md5")
+        .where(F.col(id_col) == F.col("_keeper"))
+        .select(id_col, text_col, "lang", "n_tokens")
+    )
+    deduped = chunk_dedup(
+        unique_docs, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+    ).where(F.col("n_kept") > 0)
+    # re-attach the per-doc stats (both sides keyed on id_col;
+    # survivors only)
+    return deduped.join(
+        unique_docs.select(id_col, "lang", "n_tokens"), id_col
+    ).select(
+        id_col,
+        F.col("text_dedup").alias("text_prepped"),
+        "lang",
+        "n_tokens",
+        "n_chunks",
+        "n_kept",
+    )

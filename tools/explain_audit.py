@@ -123,10 +123,14 @@ CHECKS = {
         "history re-derived at action time",
     ),
     "dedup_chunk": (
-        [r"HashAggregate", r"Window", r"ReadSchema: struct<doc_id:bigint,text:string>"],
-        [r"Exchange SinglePartition", r"CartesianProduct"],
-        "chunking in codegen; first-occurrence window partitioned by "
-        "md5(chunk); reassembly agg — both shuffles hash-partitioned",
+        [r"HashAggregate", r"partial_min", r"Join",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"Exchange SinglePartition", r"CartesianProduct", r"Window"],
+        "chunking in codegen; first-occurrence via map-side-combined "
+        "min_by agg + hash equi-join (NOT a window: a hot boilerplate "
+        "chunk key can't split under a window, but AQE splits the "
+        "skewed join side); reassembly agg — all shuffles "
+        "hash-partitioned",
     ),
     "url_trap_patterns": (
         [r"HashAggregate", r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"],
