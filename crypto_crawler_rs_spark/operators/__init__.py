@@ -36,6 +36,7 @@ from .graphrank import (
 )
 from .politeness import ewma_policy, host_ewma_delay
 from .prep import prep_corpus
+from .lmscore import train_unigram_logprobs, unigram_surprisal_score
 from .traps import suppress_traps, trap_patterns
 
 __all__ = [
@@ -74,6 +75,8 @@ __all__ = [
     "ewma_policy",
     "host_ewma_delay",
     "prep_corpus",
+    "train_unigram_logprobs",
+    "unigram_surprisal_score",
     "suppress_traps",
     "trap_patterns",
 ]
