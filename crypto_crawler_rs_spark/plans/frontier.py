@@ -522,7 +522,12 @@ class FrontierScheduler:
         )
         return [path], []  # tombstones folded into the snapshot
 
-    def forget(self, urls: DataFrame, manifest: dict | None = None) -> dict:
+    def forget(
+        self,
+        urls: DataFrame,
+        manifest: dict | None = None,
+        tomb_round: int | None = None,
+    ) -> dict:
         """Remove URLs from the seen set so they can be re-crawled —
         the unsubscribe/retain path (U3,
         crypto-ws-client/src/common/ws_client_internal.rs:313-317).
@@ -532,18 +537,28 @@ class FrontierScheduler:
         may still answer maybe-seen — a pure false positive that the
         exact join clears, so correctness is unaffected (the cuckoo/
         counting-filter variant in functions/bloom.py reclaims the
-        prune rate when deletions are frequent)."""
+        prune rate when deletions are frequent).
+
+        ``tomb_round`` (default: the current round R) is the newest
+        ``added_round`` the tombstone cancels.  Note the boundary: a
+        re-crawl in round R writes ``added_round == R``, which a
+        tomb_round of R would cancel too — callers that re-enqueue
+        the forgotten urls IMMEDIATELY (recrawl_stale) pass R-1 so
+        the re-add is visible; that is sound whenever every forgotten
+        url was added strictly before R."""
         manifest = manifest or self.store.read_manifest()
-        rnd = manifest["round"]
+        rnd = manifest["round"]  # write location stays in the live round dir
+        if tomb_round is None:
+            tomb_round = rnd
         tomb = (
             urls.withColumn("url", canonicalize_udf(F.col("url")))
             .filter(F.col("url").isNotNull())
             .select("url")
             .distinct()
             # round scoping: this tombstone only cancels seen rows
-            # added at or before the current round — a post-forget
-            # re-crawl re-enters the seen set normally
-            .withColumn("tomb_round", F.lit(rnd).cast("int"))
+            # added at or before tomb_round — a post-forget re-crawl
+            # re-enters the seen set normally
+            .withColumn("tomb_round", F.lit(tomb_round).cast("int"))
         )
         if self._seen_partition_by:
             # bucket-partition tombstones like seen deltas so the
@@ -608,6 +623,67 @@ class FrontierScheduler:
                 )
                 bloom.save(bpath)
                 new_manifest["bloom"] = bpath
+        self.store.commit(new_manifest)
+        return new_manifest
+
+    def recrawl_stale(
+        self,
+        ttl_rounds: int,
+        manifest: dict | None = None,
+        depth: int = 0,
+    ) -> dict:
+        """Freshness TTL pass (T8/T9 analog — the reference re-scans
+        its symbol catalog hourly, crawlers/utils.rs:530-537; a web
+        crawler re-fetches pages older than its freshness budget):
+        forget every seen url whose ``added_round`` is at least
+        ``ttl_rounds`` rounds old AND push it back into the frontier
+        at ``depth``, so subsequent rounds re-fetch it under normal
+        politeness/priority rules.
+
+        Both steps follow write-immutable-then-commit: the tombstone
+        delta via :meth:`forget`, the merged frontier under a
+        unique per-call path; a crash between them leaves the prior
+        manifest fully consistent."""
+        manifest = manifest or self.store.read_manifest()
+        rnd = manifest["round"]
+        seen = self._read_seen(manifest)
+        if seen is None:
+            return manifest
+        if ttl_rounds < 1:
+            raise ValueError("ttl_rounds must be >= 1")
+        stale = (
+            seen.filter(F.col("added_round") <= F.lit(rnd - ttl_rounds))
+            .select("url")
+            .distinct()
+        )
+        if stale.isEmpty():
+            return manifest
+        # tomb_round = rnd-1: every stale row was added at or before
+        # rnd-ttl (<= rnd-1), so cancellation still covers it, while
+        # the re-crawl this very round (added_round == rnd) stays
+        # visible in the seen set (forget() docstring boundary note)
+        manifest = self.forget(stale, manifest, tomb_round=rnd - 1)
+        frontier = self.store.read(manifest["frontier"])
+        re_rows = stale.select(
+            "url",
+            host_col(F.col("url")).alias("host"),
+            F.lit(depth).cast("int").alias("depth"),
+        )
+        merged = (
+            frontier.select("url", "host", "depth")
+            .unionByName(re_rows)
+            .groupBy("url", "host")
+            .agg(F.min("depth").cast("int").alias("depth"))
+        )
+        # unique per call (mirrors seen_tombstone_{n}): a second
+        # freshness pass in the same round must not overwrite a
+        # frontier an earlier commit references
+        fname = f"frontier_recrawl_{len(manifest.get('tombstones', []))}"
+        fpath = self.store.write(merged, rnd, fname)
+        new_manifest = dict(manifest)
+        new_manifest["frontier"] = fpath
+        # force run() to re-derive emptiness from the new frontier
+        new_manifest.pop("frontier_size", None)
         self.store.commit(new_manifest)
         return new_manifest
 
