@@ -4,7 +4,7 @@ from .stream import (
     streaming_url_dedup,
     run_streaming_ingest,
 )
-from .stateful import budget_gate
+from .stateful import budget_gate, trap_gate
 
 __all__ = [
     "stream_pages",
@@ -12,4 +12,5 @@ __all__ = [
     "streaming_url_dedup",
     "run_streaming_ingest",
     "budget_gate",
+    "trap_gate",
 ]

@@ -73,3 +73,62 @@ def budget_gate(requests: DataFrame, budget: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRAP_OUT_SCHEMA = (
+    "host string, pattern string, url string, suppressed boolean, "
+    "template_count long"
+)
+TRAP_STATE_SCHEMA = "n_urls long"
+
+
+def trap_gate(candidates: DataFrame, min_urls: int = 50) -> DataFrame:
+    """Streaming twin of the batch trap suppression
+    (operators/traps.py / FrontierConfig.trap_min_urls): cumulative
+    per-(host, digit-masked template) url counts carried in
+    GroupState across micro-batches; once a template's count reaches
+    ``min_urls`` every FURTHER url of that template is suppressed.
+
+    ``candidates``: streaming DF with (host, pattern, url) — the
+    masking itself stays a JVM expression upstream (see
+    tests/test_stateful_streaming.py for the wiring) so only the
+    counter lives in Python.  Deterministic: urls are processed in
+    url order within each batch-group.  Like the batch path, the
+    count is an upper bound under at-least-once replay — conservative
+    in the suppressing direction.
+    """
+
+    def gate(key, pdfs, state):
+        host, pattern = key
+        n = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            pdf = pdf.sort_values("url", kind="mergesort")
+            counts = n + np.arange(1, len(pdf) + 1)
+            # a url is suppressed once the template already had
+            # >= min_urls urls BEFORE it
+            suppressed = (counts - 1) >= min_urls
+            n = int(counts[-1])
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "pattern": pattern,
+                    "url": pdf["url"].to_numpy(),
+                    "suppressed": suppressed,
+                    "template_count": counts,
+                }
+            )
+        state.update((n,))
+
+    return candidates.groupBy("host", "pattern").applyInPandasWithState(
+        gate,
+        outputStructType=TRAP_OUT_SCHEMA,
+        stateStructType=TRAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

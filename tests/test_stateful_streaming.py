@@ -44,3 +44,59 @@ def test_budget_gate_state_across_batches(spark, tmp_path):
     assert int(h1.admitted.sum()) == 5  # budget enforced ACROSS batches
     assert int(h2.admitted.sum()) == 5  # 2+2+1
     assert h1.admitted_so_far.max() == 5
+
+
+def test_trap_gate_suppresses_across_batches(spark, tmp_path):
+    """Cumulative template counts must carry across micro-batches:
+    the /cal/N template crosses min_urls=5 mid-stream and every later
+    url of it is suppressed; the benign /about template never is."""
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.streaming.stateful import trap_gate
+
+    landing = tmp_path / "cand"
+    landing.mkdir()
+    for b in range(3):
+        pd.DataFrame(
+            {
+                "url": [f"https://x.test/cal/{b}{i}" for i in range(3)]
+                + [f"https://x.test/about{b}"],
+            }
+        ).to_parquet(landing / f"b{b}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    # masking is JVM-side, exactly the batch operator's expressions
+    keyed = stream.select(
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1).alias(
+            "host"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(
+                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+            ),
+            "[0-9]+",
+            "N",
+        ).alias("pattern"),
+        "url",
+    )
+    q = (
+        trap_gate(keyed, min_urls=5)
+        .writeStream.format("memory")
+        .queryName("trap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from trap_out").toPandas()
+    cal = out[out.pattern == "/cal/N"].sort_values("template_count")
+    about = out[out.pattern == "/aboutN"]
+    assert len(cal) == 9
+    # first 5 pass, urls 6..9 suppressed — state carried across batches
+    assert list(cal.suppressed) == [False] * 5 + [True] * 4
+    assert not about.suppressed.any()
