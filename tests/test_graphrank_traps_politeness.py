@@ -349,3 +349,74 @@ def test_pagerank_tol_early_stop_matches_converged(spark):
     assert (early.node == fixed.node).all()
     assert (early["rank"] - fixed["rank"]).abs().max() <= 1e-6
     assert (early.rank_pos == fixed.rank_pos).all()
+
+
+def test_adaptive_politeness_closes_the_loop(spark, tmp_path):
+    """Crawl -> observe per-host latency -> host_ewma_delay ->
+    ewma_policy overlay -> resume: the engine spaces the slow host's
+    fetches by the ADAPTED delay while the fast host keeps cadence.
+    (The reference hard-codes this per exchange, utils.rs:76-103.)"""
+    from crypto_crawler_rs_spark.plans.frontier import (
+        FrontierConfig,
+        FrontierScheduler,
+    )
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url, f"<html>{body}</html>".encode())
+
+    hosts = ("slow.test", "fast.test")
+    rows = []
+    for h in hosts:
+        rows.append(page(f"https://{h}/", [f"https://{h}/p{i}" for i in range(3)]))
+        rows += [page(f"https://{h}/p{i}", []) for i in range(3)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    base_policy = spark.createDataFrame(
+        [(h, 0, 1, [], 1, False) for h in hosts],
+        "host string, host_rank long, budget_per_round int, "
+        "robots_disallow array<string>, crawl_delay_rounds int, is_hot boolean",
+    )
+    seeds = spark.createDataFrame(
+        [(f"https://{h}/", 0) for h in hosts], "url string, depth int"
+    )
+    state = str(tmp_path / "adaptive_state")
+    cfg = FrontierConfig(max_rounds=64, n_seen_buckets=4)
+    eng = FrontierScheduler(spark, pages, base_policy, state, cfg)
+    m = eng.run(seeds, max_rounds=2)
+
+    # observe: slow.test answers in 250ms, fast.test in 40ms
+    from crypto_crawler_rs_spark.operators.politeness import (
+        ewma_policy,
+        host_ewma_delay,
+    )
+
+    obs = (
+        eng.fetched(m)
+        .where("status = 'ok'")
+        .select(
+            "host",
+            F.when(F.col("host") == "slow.test", 250.0)
+            .otherwise(40.0)
+            .alias("latency_ms"),
+            F.col("round").cast("long").alias("ts"),
+            F.col("rank_in_round").alias("fetch_id"),
+        )
+    )
+    adapted = ewma_policy(host_ewma_delay(obs), base_policy)
+    delays = {r.host: r.crawl_delay_rounds for r in adapted.collect()}
+    assert delays == {"slow.test": 3, "fast.test": 1}  # ceil(250/100), floor 1
+
+    # resume the SAME crawl state under the adapted policy
+    eng2 = FrontierScheduler(spark, pages, adapted, state, cfg)
+    m2 = eng2.run(max_rounds=12)
+    fetched = eng2.fetched(m2).toPandas().query("status == 'ok'")
+    post = fetched[fetched["round"] >= 2]
+    for host, min_gap in (("slow.test", 3), ("fast.test", 1)):
+        rounds = sorted(post[post.host == host]["round"].unique())
+        assert len(rounds) >= 2, f"{host} needs multiple post-resume rounds"
+        gaps = [b - a for a, b in zip(rounds, rounds[1:])]
+        assert all(g >= min_gap for g in gaps), (host, rounds)
+    slow_rounds = sorted(post[post.host == "slow.test"]["round"].unique())
+    fast_rounds = sorted(post[post.host == "fast.test"]["round"].unique())
+    # the adapted slow host is actually SLOWER-paced than the fast one
+    assert (slow_rounds[1] - slow_rounds[0]) > (fast_rounds[1] - fast_rounds[0])
