@@ -37,6 +37,7 @@ from .graphrank import (
 from .politeness import ewma_policy, host_ewma_delay
 from .prep import prep_corpus
 from .lmscore import train_unigram_logprobs, unigram_surprisal_score
+from .components import connected_components, dedup_keep_list
 from .traps import suppress_traps, trap_patterns
 
 __all__ = [
@@ -77,6 +78,8 @@ __all__ = [
     "prep_corpus",
     "train_unigram_logprobs",
     "unigram_surprisal_score",
+    "connected_components",
+    "dedup_keep_list",
     "suppress_traps",
     "trap_patterns",
 ]

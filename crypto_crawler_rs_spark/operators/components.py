@@ -1,0 +1,136 @@
+"""Connected components over near-duplicate pairs — the transitive
+closure the dedup family needs to act on its own output.
+
+`minhash_lsh_pairs` / `simhash_pairs` / `ngram_jaccard_pairs` emit
+PAIRS; removing duplicates needs the duplicate CLUSTERS (A~B and B~C
+put A,B,C in one cluster even though A~C never scored) and one keeper
+per cluster — the standard MinHash-LSH + connected-components recipe
+from the dedup literature.  No GraphX/GraphFrames in pyspark, so this
+is a from-scratch DataFrame implementation, mirroring graphrank.py's
+iterative discipline (per-iteration localCheckpoint, scalar-only
+driver traffic).
+
+Algorithm: minimum-label propagation with POINTER JUMPING — every
+node starts labeled with itself; each iteration every node takes the
+min label over itself and its neighbors, then follows its label's own
+label one hop (labels[x] <= x always, so the chain only descends).
+The jump halves remaining chain depth per round, giving the
+O(log diameter) convergence of large-star/small-star without the
+two-phase bookkeeping; near-dup clusters are clique-dense anyway, so
+most graphs converge in 2-3 rounds.
+
+Scale shape per iteration: edges (pre-doubled to both directions,
+hash-partitioned on src, persisted once) join the N-node label table
+on src — labels shuffle, edges don't — then one combiner-backed
+groupBy(node).min.  The convergence check is a one-row count.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns ``(node, component)`` — ``component`` is the minimum
+    node id of the connected component (a canonical, deterministic
+    cluster id).  Nodes are whatever orderable type the pair columns
+    carry (doc ids, urls).  Isolated nodes don't appear in ``pairs``
+    and therefore not in the output; callers union them back as
+    their own keepers if needed."""
+    spark = pairs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    # undirected: double the edges once, partition by the join key
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition(num_partitions, "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "b").withColumnRenamed(
+                    "component", "nbr"
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+        combined = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("nbr_min", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer jump: component <- labels[component] (labels[x] <= x,
+        # so this only descends; halves remaining chain depth)
+        jumped = (
+            combined.join(
+                combined.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("_grand"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_grand", "component").alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            jumped.join(
+                labels.withColumnRenamed("component", "_old"), "node"
+            )
+            .where(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = jumped
+        if not n_changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Turn near-dup PAIRS into a dedup decision table:
+    ``(node, keeper, is_keeper)`` — keeper = the component's minimum
+    id (deterministic), ``is_keeper`` false means drop the document.
+    Join this against the corpus with a broadcast-or-bucket semi/anti
+    join to materialize the deduplicated table."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    return comp.select(
+        "node",
+        F.col("component").alias("keeper"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

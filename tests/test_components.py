@@ -1,0 +1,90 @@
+"""connected_components / dedup_keep_list vs an independent
+union-find oracle, including the end-to-end MinHash-pairs -> clusters
+-> keeper pipeline on the planted near-dup corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, pairs, **kw):
+    from crypto_crawler_rs_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r.node: r.component for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_components_chain_and_isolated_cluster(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)]
+    got = _cc(spark, pairs)
+    assert got == _union_find(pairs)
+    assert got[4] == 1 and got[11] == 10 and got[21] == 20
+
+
+def test_components_converges_before_max_iter(spark):
+    # star graph: diameter 2 -> converges fast even with max_iter=30
+    pairs = [(5, i) for i in range(6, 16)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {5}
+
+
+def test_components_long_chain_random_order(spark):
+    import random
+
+    rng = random.Random(3)
+    chain = [(i, i + 1) for i in range(40)]
+    rng.shuffle(chain)
+    got = _cc(spark, chain)
+    assert got == _union_find(chain)
+    assert set(got.values()) == {0}
+
+
+def test_dedup_keep_list_semantics(spark):
+    from crypto_crawler_rs_spark.operators.components import dedup_keep_list
+
+    df = spark.createDataFrame([(7, 3), (3, 9)], "src long, dst long")
+    out = {r.node: (r.keeper, r.is_keeper) for r in dedup_keep_list(df).collect()}
+    assert out == {3: (3, True), 7: (3, False), 9: (3, False)}
+
+
+def test_minhash_pairs_to_keepers_end_to_end(spark):
+    """The full recipe: LSH pairs over the documents table ->
+    components -> keep list; every cluster keeps exactly its min
+    doc_id and the keep list covers exactly the paired docs."""
+    from crypto_crawler_rs_spark.operators.components import dedup_keep_list
+    from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, n_hashes=32, n_bands=16, threshold=0.05
+    ).select("id_a", "id_b")
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_rows, "fixture corpus must contain planted near-dups"
+    keep = dedup_keep_list(pairs, src="id_a", dst="id_b").toPandas()
+    oracle = _union_find(pair_rows)
+    assert {r.node: r.keeper for r in keep.itertuples()} == oracle
+    # exactly one keeper per cluster, and it's the min id
+    keepers = keep[keep.is_keeper]
+    assert set(keepers.node) == set(oracle.values())
