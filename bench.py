@@ -466,6 +466,49 @@ def run_pagerank(
     }
 
 
+def run_components(
+    spark, n_edges: int = 2_000_000, n_nodes: int = 500_000
+) -> dict:
+    """Scale point for near-dup clustering
+    (operators/components.connected_components): synthetic pair graph
+    shaped like LSH output — dense small clusters (each node pairs
+    into its cluster's bucket) plus chain bridges that exercise the
+    pointer-jumping depth reduction."""
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.operators.components import (
+        connected_components,
+    )
+
+    base = spark.range(n_edges)
+    # cluster edges: node -> its cluster representative (clusters of ~8)
+    cluster = base.select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        (
+            F.pmod(F.xxhash64("id"), F.lit(n_nodes))
+            - F.pmod(F.pmod(F.xxhash64("id"), F.lit(n_nodes)), F.lit(8))
+        ).alias("dst"),
+    )
+    # bridge chains: every 1000th node links to the next representative
+    bridges = spark.range(n_nodes // 1000).select(
+        (F.col("id") * 1000).alias("src"),
+        ((F.col("id") + 1) * 1000 % n_nodes).alias("dst"),
+    )
+    edges = cluster.union(bridges)
+    t0 = time.perf_counter()
+    comp = connected_components(edges)
+    n_out = comp.count()
+    n_comp = comp.select("component").distinct().count()
+    wall = time.perf_counter() - t0
+    return {
+        "n_edges": n_edges,
+        "n_nodes_labeled": n_out,
+        "n_components": n_comp,
+        "wall_sec": round(wall, 2),
+        "edges_per_sec": round(n_edges / wall, 1),
+    }
+
+
 def run_seenjoin(
     spark,
     seen_sizes=(250_000, 1_000_000, 4_000_000),
@@ -647,6 +690,7 @@ def main():
     ap.add_argument("--compaction-only", action="store_true")
     ap.add_argument("--bloom-only", action="store_true")
     ap.add_argument("--pagerank-only", action="store_true")
+    ap.add_argument("--components-only", action="store_true")
     ap.add_argument("--profile", action="store_true",
                     help="with --frontier-only: per-phase wall attribution")
     ap.add_argument("--prod-family-only", action="store_true")
@@ -707,6 +751,14 @@ def main():
         print(json.dumps(res))
         return
 
+    if args.components_only:
+        spark = _spark(args.cpus)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = run_components(spark)
+        spark.stop()
+        print(json.dumps(res))
+        return
+
     if args.prod_family_only:
         spark = _spark(args.cpus)
         # same warm-up as run_queries so min-of-2 measures steady state
@@ -761,6 +813,7 @@ def main():
         compaction = sub(["--compaction-only", "--cpus", "32"])
         bloom_update = sub(["--bloom-only", "--cpus", "32"])
         pagerank_b = sub(["--pagerank-only", "--cpus", "32"])
+        components_b = sub(["--components-only", "--cpus", "32"])
         summary = {
             "kernel_detail": kernel,
             "kernel_100m": kernel_100m,
@@ -770,6 +823,7 @@ def main():
             "compaction": compaction,
             "bloom_update": bloom_update,
             "pagerank": pagerank_b,
+            "components": components_b,
         }
         summary = _merge_scaling(summary)
         k = {c: summary["kernel_detail"][c]["urls_per_sec"]
@@ -1034,6 +1088,21 @@ combiner-backed groupBy(dst); lineage is cut per iteration
 is periodic maintenance (the reference refreshes hourly) — at this
 rate a 10^9-edge host graph ranks in ~{round(1e9 * g['n_iter'] / g['edge_iters_per_sec'] / 60, 0):.0f}
 machine-minutes, amortized across the rounds between refreshes.
+""")
+    cc = summary.get("components")
+    if cc:
+        out.append(f"""### 2.9 Near-dup clustering (connected components over pairs)
+
+`operators/components.connected_components` turns the dedup family's
+pair output into keeper clusters.  Synthetic LSH-shaped pair graph,
+{cc['n_edges']:,} edges / {cc['n_nodes_labeled']:,} labeled nodes →
+{cc['n_components']:,} components
+(`python bench.py --components-only`): **{cc['wall_sec']}s =
+{cc['edges_per_sec']:,.0f} edges/sec** including convergence detection.
+Min-label propagation + pointer jumping converges in O(log diameter)
+rounds; each round is one labels-side join into the co-partitioned
+edge list + one combiner groupBy — same shuffle discipline as the
+PageRank job above.
 """)
     return ("\n".join(out) + "\n") if out else ""
 

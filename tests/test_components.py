@@ -88,3 +88,42 @@ def test_minhash_pairs_to_keepers_end_to_end(spark):
     # exactly one keeper per cluster, and it's the min id
     keepers = keep[keep.is_keeper]
     assert set(keepers.node) == set(oracle.values())
+
+
+def test_chunk_dedup_identity_on_unique_corpus(spark):
+    """Property: when every chunk is corpus-unique, chunk_dedup must
+    reassemble each document byte-identically (n_kept == n_chunks)."""
+    from crypto_crawler_rs_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 7) % 23)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_dedup(docs).toPandas().set_index("doc_id")
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for i, row in out.iterrows():
+        assert row.text_dedup == src[i]
+        assert row.n_kept == row.n_chunks
+
+
+def test_chunk_dedup_order_insensitive_keeper(spark):
+    """Property: the kept occurrence is (doc_id, chunk_idx)-minimal
+    regardless of input row order."""
+    from crypto_crawler_rs_spark.operators.dedup import chunk_dedup
+
+    rows = [
+        (9, "shared chunk words one two three four five six seven"),
+        (2, "shared chunk words one two three four five six seven"),
+    ]
+    for order in (rows, rows[::-1]):
+        out = (
+            chunk_dedup(spark.createDataFrame(order, "doc_id long, text string"))
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[2, "n_kept"] == 1  # min doc_id keeps
+        assert out.loc[9, "n_kept"] == 0
+        assert out.loc[9, "text_dedup"] == ""
