@@ -879,7 +879,16 @@ def main():
         "value": frontier["urls_per_sec_mean"],
         "unit": "sec",
         "queries": queries,
-        "queries_method": "min of 2 runs per query (steady-state)",
+        # in-session times depend on registry POSITION (accumulated JVM
+        # heap/JIT state — measured ~2x on dedup_minhash_lsh after the
+        # r4 registry reorder, while its fresh-JVM prod twin held
+        # steady): compare the dedup/ANN family across rounds via
+        # queries_prod_family, which always runs in a fresh JVM
+        "queries_method": (
+            "min of 2 runs per query (steady-state, shared session — "
+            "position-sensitive; cross-round compare via "
+            "queries_prod_family for the heavy dedup/ANN rows)"
+        ),
         "queries_prod_family": prod_family,
         "sf": sf_dir,
         "frontier": frontier,
