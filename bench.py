@@ -879,15 +879,16 @@ def main():
         "value": frontier["urls_per_sec_mean"],
         "unit": "sec",
         "queries": queries,
-        # in-session times depend on registry POSITION (accumulated JVM
-        # heap/JIT state — measured ~2x on dedup_minhash_lsh after the
-        # r4 registry reorder, while its fresh-JVM prod twin held
-        # steady): compare the dedup/ANN family across rounds via
-        # queries_prod_family, which always runs in a fresh JVM
+        # the longest rows absorb the most shared-box noise (an
+        # isolated A/B showed identical back-to-back minhash runs
+        # spanning 7-40s during a noisy window while the fresh-JVM
+        # prod twin held ~5s across sessions): compare the heavy
+        # dedup/ANN rows across rounds via queries_prod_family, whose
+        # fresh JVM and short window make it the stabler record
         "queries_method": (
-            "min of 2 runs per query (steady-state, shared session — "
-            "position-sensitive; cross-round compare via "
-            "queries_prod_family for the heavy dedup/ANN rows)"
+            "min of 2 runs per query (steady-state shared session; "
+            "heavy dedup/ANN rows are noise-exposed — cross-round "
+            "compare via queries_prod_family)"
         ),
         "queries_prod_family": prod_family,
         "sf": sf_dir,
