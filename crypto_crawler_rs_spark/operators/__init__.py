@@ -38,7 +38,7 @@ from .politeness import ewma_policy, host_ewma_delay
 from .prep import prep_corpus
 from .lmscore import train_unigram_logprobs, unigram_surprisal_score
 from .components import connected_components, dedup_keep_list
-from .traps import suppress_traps, trap_patterns
+from .traps import host_of, mask_pattern, suppress_traps, trap_patterns
 
 __all__ = [
     "global_rank",
@@ -81,5 +81,7 @@ __all__ = [
     "connected_components",
     "dedup_keep_list",
     "suppress_traps",
+    "host_of",
+    "mask_pattern",
     "trap_patterns",
 ]

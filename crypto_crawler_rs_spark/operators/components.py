@@ -52,11 +52,14 @@ def connected_components(
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    # undirected: double the edges once, partition by the join key
+    # undirected: double the edges once, partition by the JOIN key —
+    # the iteration joins labels on "b", so hash-partitioning on "b"
+    # is what lets every round shuffle only the N-row label table
+    # while the E-row edge list stays put
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition(num_partitions, "a")
+        .repartition(num_partitions, "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges.count()

@@ -267,15 +267,18 @@ def refresh_host_rank(
 ) -> DataFrame:
     """Overlay crawl-computed PageRank onto an existing frontier
     policy table: hosts present in ``ranks`` get their ``host_rank``
-    replaced by the computed position, unknown hosts keep their
-    static rank (the same overlay contract as
-    operators/politeness.ewma_policy).  Both sides are
-    host-cardinality; the join broadcasts."""
+    replaced by the computed position, static-only hosts keep their
+    rank, and ranked hosts ABSENT from the static table still get a
+    policy row (full-outer — discovered hosts are the common case on
+    the open web; their other policy columns stay null and
+    ``_with_policy`` coalesces them to engine defaults).  The same
+    overlay contract as operators/politeness.ewma_policy.  Both
+    sides are host-cardinality; the join stays small."""
     computed = ranks_to_policy(ranks, step=step).withColumnRenamed(
         "host_rank", "_computed_rank"
     )
     return (
-        base_policy.join(F.broadcast(computed), "host", "left")
+        base_policy.join(computed, "host", "full")
         .withColumn(
             "host_rank", F.coalesce("_computed_rank", "host_rank")
         )

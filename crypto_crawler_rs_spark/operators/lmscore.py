@@ -61,22 +61,34 @@ def unigram_surprisal_score(
     k: float = 1.0,
     round_digits: int = 6,
 ) -> DataFrame:
-    """One row per doc: ``(doc_id, n_scored_tokens, surprisal)`` where
-    ``surprisal`` is the mean negative log-probability of the doc's
-    tokens under the corpus's own add-k unigram LM — low = typical
-    text, high = rare-token soup (the CCNet tail bucket).  Rounded so
-    a SQL twin's different summation order agrees at the driver's
+    """One row per doc — INCLUDING docs with no scoreable tokens
+    (empty/whitespace-only text: ``n_scored_tokens = 0``,
+    ``surprisal`` null), which are exactly the junk a quality gate
+    wants to see flagged rather than silently missing.  ``surprisal``
+    is the mean negative log-probability of the doc's tokens under
+    the corpus's own add-k unigram LM — low = typical text, high =
+    rare-token soup (the CCNet tail bucket).  Rounded so a SQL twin's
+    different summation order agrees at the driver's
     9-significant-digit float comparison."""
     logp, _, _ = train_unigram_logprobs(docs, text_col=text_col, k=k)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
-    return (
+    scored = (
         toks.join(logp, "token")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_scored_tokens"),
             F.round(-F.avg("logp"), round_digits).alias("surprisal"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .withColumn(
+            "n_scored_tokens",
+            F.coalesce("n_scored_tokens", F.lit(0)).cast("long"),
         )
     )

@@ -87,13 +87,19 @@ def ewma_policy(
 ) -> DataFrame:
     """Overlay adaptive delays onto a frontier policy table: hosts
     with an observed EWMA get their ``crawl_delay_rounds`` replaced,
-    unknown hosts keep the static default.  Both sides are
-    host-cardinality — the join stays broadcast-sized."""
+    static-only hosts keep their default, and observed hosts ABSENT
+    from the static table still get a policy row (full-outer join) —
+    on the open web most hosts are discovered, not pre-listed, and
+    dropping their adaptive delay would hammer exactly the slow hosts
+    the EWMA flagged.  Their other policy columns stay null;
+    ``FrontierScheduler._with_policy`` coalesces those to engine
+    defaults.  Both sides are host-cardinality — the join stays
+    broadcast-sized."""
     adaptive = delays.select(
         host_col, F.col("crawl_delay_rounds").alias("_adaptive_delay")
     )
     return (
-        base_policy.join(adaptive, host_col, "left")
+        base_policy.join(adaptive, host_col, "full")
         .withColumn(
             "crawl_delay_rounds",
             F.coalesce("_adaptive_delay", "crawl_delay_rounds"),

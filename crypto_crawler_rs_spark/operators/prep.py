@@ -65,16 +65,17 @@ def prep_corpus(
         & (F.col("distinct_ratio") >= min_distinct_ratio)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
     )
-    # exact dedup on raw text: min-doc_id keeper per md5, the same
-    # combiner-friendly agg+join shape as chunk_dedup's
-    # first-occurrence stage (one 16-byte hash per doc shuffles, not
-    # the text)
-    hashed = gated.withColumn("_md5", F.md5(text_col))
-    keepers = hashed.groupBy("_md5").agg(
-        F.min(F.col(id_col)).alias("_keeper")
+    # exact dedup on raw text: REUSE the audited operator (min-doc_id
+    # keeper per md5 — one 16-byte hash per doc shuffles, not the
+    # text) and keep only each hash's keeper row
+    from .dedup import exact_dedup
+
+    keepers = exact_dedup(gated, id_col=id_col, text_col=text_col).select(
+        "text_md5", F.col("keeper_id").alias("_keeper")
     )
     unique_docs = (
-        hashed.join(keepers, "_md5")
+        gated.withColumn("text_md5", F.md5(text_col))
+        .join(keepers, "text_md5")
         .where(F.col(id_col) == F.col("_keeper"))
         .select(id_col, text_col, "lang", "n_tokens")
     )

@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 # a digit RUN collapses to one N: /2024/01/03/ and /1999/12/31/ are
 # the same calendar template
 _DIGITS = "[0-9]+"
+_AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+
+
+def host_of(url_col) -> F.Column:
+    """Authority (host[:port]) of a url column."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_extract(col, _AUTHORITY.replace("[^/]*", "([^/]*)"), 1)
+
+
+def mask_pattern(url_col) -> F.Column:
+    """Digit-masked path+query template of a url column — THE trap
+    key.  One definition shared by the batch operator, the frontier
+    round-loop suppression, and the streaming trap_gate, so a change
+    to the masking rule cannot silently diverge between them."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_replace(F.regexp_replace(col, _AUTHORITY, ""), _DIGITS, "N")
 
 
 def trap_patterns(
@@ -41,15 +57,10 @@ def trap_patterns(
     callers broadcast the ``is_trap`` slice against discovery.
     """
     u = F.col(url_col)
-    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
-    path = F.regexp_replace(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
-    )
-    pattern = F.regexp_replace(path, _DIGITS, "N")
     return (
         urls.select(
-            host.alias("host"),
-            pattern.alias("pattern"),
+            host_of(u).alias("host"),
+            mask_pattern(u).alias("pattern"),
             u.alias("_url"),
         )
         .groupBy("host", "pattern")
@@ -67,13 +78,9 @@ def suppress_traps(
     trap — a broadcast left-anti join (the trap table is template-
     sized, naturally broadcastable)."""
     u = F.col(url_col)
-    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
-    pattern = F.regexp_replace(
-        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""),
-        _DIGITS,
-        "N",
+    keyed = candidates.withColumn("_host", host_of(u)).withColumn(
+        "_pattern", mask_pattern(u)
     )
-    keyed = candidates.withColumn("_host", host).withColumn("_pattern", pattern)
     trap_keys = traps.where("is_trap").select(
         F.col("host").alias("_host"), F.col("pattern").alias("_pattern")
     )

@@ -173,16 +173,25 @@ def materialize_canonical_pages(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a crashed prior session can leave the managed location behind
     # with no catalog entry — saveAsTable then refuses
-    # (LOCATION_ALREADY_EXISTS).  Local-filesystem cleanup only; a
-    # real catalog's DROP TABLE reclaims the location itself.
+    # (LOCATION_ALREADY_EXISTS).  Local-filesystem warehouses only
+    # (remote-scheme URIs are left to the real catalog, whose DROP
+    # TABLE reclaims the location itself); managed layout is
+    # <warehouse>/[<db>.db/]<table>.
     import os as _os
     import shutil as _shutil
 
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file:")
-    stale = _os.path.join(wh, table.lower())
-    if _os.path.isdir(stale):
-        _shutil.rmtree(stale)
+    if "://" not in wh or wh.startswith("file:"):
+        wh = wh.removeprefix("file:")
+        parts = table.lower().split(".")
+        rel = (
+            _os.path.join(f"{parts[-2]}.db", parts[-1])
+            if len(parts) > 1
+            else parts[-1]
+        )
+        stale = _os.path.join(wh, rel)
+        if _os.path.isdir(stale):
+            _shutil.rmtree(stale)
 
     canon = pages.withColumn("url", canonicalize_udf(F.col("url")))
     if "warc_ts" in pages.columns:
@@ -348,16 +357,9 @@ class FrontierScheduler:
         shuffles template keys, not urls, and the flagged slice
         broadcasts.  The merged table is snapshotted per round like
         every other state table, so resume keeps trap memory."""
-        from ..operators.traps import _DIGITS
+        from ..operators.traps import mask_pattern
 
-        pattern = F.regexp_replace(
-            F.regexp_replace(
-                F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
-            ),
-            _DIGITS,
-            "N",
-        )
-        keyed = discovered.withColumn("pattern", pattern)
+        keyed = discovered.withColumn("pattern", mask_pattern("url"))
         counts = keyed.groupBy("host", "pattern").agg(
             F.count("*").alias("n_urls")
         )
@@ -651,10 +653,15 @@ class FrontierScheduler:
             return manifest
         if ttl_rounds < 1:
             raise ValueError("ttl_rounds must be >= 1")
+        # one seen-set scan, not three: the stale list is consumed by
+        # the emptiness probe, the tombstone write AND the frontier
+        # merge — checkpoint it so the full delta-union + tombstone
+        # anti-join lineage executes once
         stale = (
             seen.filter(F.col("added_round") <= F.lit(rnd - ttl_rounds))
             .select("url")
             .distinct()
+            .localCheckpoint(eager=True)
         )
         if stale.isEmpty():
             return manifest

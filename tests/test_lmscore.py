@@ -82,3 +82,20 @@ def test_train_returns_scalars(spark):
     got = {r.token: r.logp for r in logp.collect()}
     assert math.isclose(got["x"], math.log(3 / 5), abs_tol=1e-12)
     assert math.isclose(got["y"], math.log(2 / 5), abs_tol=1e-12)
+
+
+def test_surprisal_covers_zero_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = (
+        unigram_surprisal_score(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]  # one row per doc, junk included
+    assert out.loc[2, "n_scored_tokens"] == 0
+    assert out.loc[3, "n_scored_tokens"] == 0
+    assert math.isnan(out.loc[2, "surprisal"])
+    assert out.loc[1, "n_scored_tokens"] == 3

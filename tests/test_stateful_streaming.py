@@ -69,18 +69,12 @@ def test_trap_gate_suppresses_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(landing))
     )
-    # masking is JVM-side, exactly the batch operator's expressions
+    # masking is JVM-side, via the SHARED batch-operator helpers
+    from crypto_crawler_rs_spark.operators.traps import host_of, mask_pattern
+
     keyed = stream.select(
-        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1).alias(
-            "host"
-        ),
-        F.regexp_replace(
-            F.regexp_replace(
-                "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
-            ),
-            "[0-9]+",
-            "N",
-        ).alias("pattern"),
+        host_of("url").alias("host"),
+        mask_pattern("url").alias("pattern"),
         "url",
     )
     q = (
