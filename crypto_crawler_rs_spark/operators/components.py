@@ -23,6 +23,16 @@ Scale shape per iteration: edges (pre-doubled to both directions,
 hash-partitioned on src, persisted once) join the N-node label table
 on src — labels shuffle, edges don't — then one combiner-backed
 groupBy(node).min.  The convergence check is a one-row count.
+
+Iteration discipline (r5): the E-row work (edges⋈labels + groupBy
+min) materializes exactly ONCE per iteration — the min-label result
+is the localCheckpoint point, and the pointer jump + convergence
+check are N-row joins over that materialized table (previously the
+jump self-joined an UNmaterialized plan, re-executing the E-row
+aggregation twice per iteration, and convergence was a third join
+against the prior iterate; the prior label now rides along as a
+column).  Checkpoint blocks are released two generations behind via
+LocalCheckpointChain (ADVICE r4: unbounded block accumulation).
 """
 
 from __future__ import annotations
@@ -30,6 +40,8 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.ckpt import LocalCheckpointChain
 
 
 def connected_components(
@@ -64,11 +76,11 @@ def connected_components(
     )
     edges.count()
 
-    labels = (
+    chain = LocalCheckpointChain(spark, keep=2)
+    labels = chain.step(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -83,40 +95,42 @@ def connected_components(
             .agg(F.min("nbr").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
-        combined = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least("component", F.coalesce("nbr_min", "component")).alias(
-                "component"
-            ),
+        # the ONE E-row pass of the iteration, materialized here so
+        # the jump below reads the result instead of re-running it;
+        # the pre-update label rides along for the convergence check
+        combined = chain.step(
+            labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least("component", F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
         )
         # pointer jump: component <- labels[component] (labels[x] <= x,
-        # so this only descends; halves remaining chain depth)
-        jumped = (
-            combined.join(
-                combined.select(
-                    F.col("node").alias("component"),
-                    F.col("component").alias("_grand"),
-                ),
-                "component",
-                "left",
-            )
-            .select(
-                "node",
-                F.coalesce("_grand", "component").alias("component"),
-            )
-            .localCheckpoint(eager=True)
+        # so this only descends; halves remaining chain depth).  An
+        # N-row join of two projections of the checkpointed table —
+        # its plan stays shallow, so no checkpoint of its own.
+        jumped = combined.join(
+            combined.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("_grand"),
+            ),
+            "component",
+            "left",
+        ).select(
+            "node",
+            "_old",
+            F.coalesce("_grand", "component").alias("component"),
         )
-        n_changed = (
-            jumped.join(
-                labels.withColumnRenamed("component", "_old"), "node"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .count()
-        )
-        labels = jumped
+        n_changed = jumped.where(F.col("component") != F.col("_old")).count()
+        labels = jumped.select("node", "component")
         if not n_changed:
             break
     edges.unpersist()
+    # the returned labels derive from the NEWEST checkpoint only —
+    # release every older generation's blocks now
+    chain.close()
     return labels
 
 

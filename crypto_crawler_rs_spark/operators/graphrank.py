@@ -87,7 +87,21 @@ def pagerank(
     n_nodes = nodes.count()  # scalar: materializes the persist too
     if n_nodes == 0:
         nodes.unpersist()
-        return spark.createDataFrame([], "node string, rank double, rank_pos long")
+        # empty result keeps the CALLER's node type (ADVICE r4:
+        # pinning it to string silently retyped bigint-noded graphs)
+        from pyspark.sql import types as T
+
+        node_type = e.schema["src"].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("rank", T.DoubleType()),
+                    T.StructField("rank_pos", T.LongType()),
+                ]
+            ),
+        )
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # per-edge weight precomputed once; hash-partition by src so each
@@ -100,10 +114,17 @@ def pagerank(
     )
     wedges.count()
 
+    from ..functions.ckpt import LocalCheckpointChain
+
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint(eager=True)
+    # keep=2: the newest iterate plus its predecessor (the tol check
+    # reads both); older iterates' checkpoint blocks are released as
+    # the loop advances (ADVICE r4: they used to accumulate for up to
+    # n_iter generations)
+    chain = LocalCheckpointChain(spark, keep=2)
+    ranks = chain.step(
+        nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    )
 
     dangling = nodes.join(
         out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
@@ -122,9 +143,8 @@ def pagerank(
             .withColumnRenamed("dst", "node")
         )
         prev_ranks = ranks
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+        ranks = chain.step(  # cut the iteration lineage; release gen k-2
+            nodes.join(contribs, "node", "left").select(
                 "node",
                 (
                     F.lit(base)
@@ -132,7 +152,6 @@ def pagerank(
                     * (F.coalesce("mass", F.lit(0.0)) + F.lit(dang_mass / n_nodes))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # cut the iteration lineage
         )
         if tol is not None:
             # L1 convergence check against the previous (checkpointed)
@@ -155,6 +174,8 @@ def pagerank(
     # that itself needs distribution, feed `out` to operators.rank.
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
     out = out.withColumn("rank_pos", F.row_number().over(w).cast("long"))
+    # `out` derives from the NEWEST iterate only — release the rest
+    chain.close()
     for cached in (nodes, wedges, dangling):
         cached.unpersist()
     return out

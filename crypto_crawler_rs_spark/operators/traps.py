@@ -55,6 +55,13 @@ def trap_patterns(
 
     Returns ``(host, pattern, n_urls, is_trap)`` sorted nowhere —
     callers broadcast the ``is_trap`` slice against discovery.
+
+    Scheme-less / non-canonical urls (``host_of`` yields ``''``) are
+    DROPPED, not grouped: collapsing them into host ``''`` would both
+    mis-key the template table vs the frontier loop's engine host
+    column and let unrelated malformed urls vote each other into a
+    fake trap (ADVICE r4).  Canonicalize first
+    (functions/urls.canonicalize_udf) if such rows must count.
     """
     u = F.col(url_col)
     return (
@@ -63,6 +70,7 @@ def trap_patterns(
             mask_pattern(u).alias("pattern"),
             u.alias("_url"),
         )
+        .where(F.col("host") != F.lit(""))
         .groupBy("host", "pattern")
         .agg(F.count_distinct("_url").alias("n_urls"))
         .withColumn("is_trap", (F.col("n_urls") >= F.lit(min_urls)).cast("boolean"))

@@ -89,6 +89,18 @@ def trap_gate(candidates: DataFrame, min_urls: int = 50) -> DataFrame:
     GroupState across micro-batches; once a template's count reaches
     ``min_urls`` every FURTHER url of that template is suppressed.
 
+    Boundary semantics vs the batch round loop (ADVICE r4): this gate
+    decides PER URL — the first ``min_urls`` urls of a template are
+    admitted, suppression starts at url ``min_urls + 1``.  The batch
+    path (FrontierScheduler trap suppression) decides PER ROUND — the
+    whole round's urls for a template are dropped as soon as the
+    cumulative count INCLUDING that round reaches the threshold, so
+    urls that arrive in the threshold-crossing round die in batch but
+    the first ``min_urls`` of them survive here.  A stream cannot
+    retro-drop urls it already emitted, so the per-url rule is the
+    tightest batch-compatible one; do not expect row-identical output
+    from the two paths around the boundary.
+
     ``candidates``: streaming DF with (host, pattern, url) — the
     masking itself stays a JVM expression upstream (see
     tests/test_stateful_streaming.py for the wiring) so only the
