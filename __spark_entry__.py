@@ -1012,6 +1012,90 @@ def q_politeness_ewma(spark, sf):
     return host_ewma_delay(fetches)
 
 
+def q_dedup_components(spark, sf):
+    """Near-dup clustering (G7, operators/components.py): connected
+    components over a deterministic permutation-graph edge list
+    (x -> 13x+5 mod 211 — cycles of the affine map, several
+    multi-hop components) turned into the dedup keeper table
+    (node, keeper, is_keeper).  Oracle = DuckDB recursive-CTE
+    transitive closure with min-label reduction."""
+    from crypto_crawler_rs_spark.operators.components import dedup_keep_list
+
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 211).alias("dst"),
+    )
+    return dedup_keep_list(edges)
+
+
+def q_lm_surprisal(spark, sf):
+    """Corpus-trained add-1 unigram LM surprisal per document (G8,
+    operators/lmscore.py) — the CCNet perplexity-bucket stand-in.
+    Zero-token docs are excluded to mirror the SQL twin's inner join
+    (they carry NULL surprisal; the operator's full-row behavior is
+    pinned by test_lmscore.py)."""
+    from crypto_crawler_rs_spark.operators.lmscore import (
+        unigram_surprisal_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return unigram_surprisal_score(docs).where(
+        F.col("n_scored_tokens") > 0
+    )
+
+
+def q_prep_corpus(spark, sf):
+    """The composed training-corpus prep pipeline (G9,
+    operators/prep.py): lang gate -> quality gate -> whole-doc exact
+    dedup -> chunk dedup, one row per surviving doc.  Oracle replays
+    every stage in DuckDB SQL."""
+    from crypto_crawler_rs_spark.operators.prep import prep_corpus
+
+    docs = _t(spark, sf, "documents")
+    return prep_corpus(
+        docs,
+        langs=("en",),
+        min_tokens=20,
+        min_distinct_ratio=0.4,
+        min_stopword_ratio=0.0,
+    )
+
+
+def q_recrawl_due(spark, sf):
+    """Freshness-TTL recrawl (G10, plans/frontier.py
+    stale_seen_urls + merge_recrawl_frontier — the exact engine
+    functions recrawl_stale calls): seen urls older than ttl_rounds
+    re-enter the frontier at depth 0, min-depth-merged with the live
+    frontier.  Reference analog: hourly catalog re-scan
+    (crypto-crawler/src/crawlers/utils.rs:530-537)."""
+    from crypto_crawler_rs_spark.plans.frontier import (
+        merge_recrawl_frontier,
+        stale_seen_urls,
+    )
+
+    o = _t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".shop.example/p/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    seen = o.select(
+        url.alias("url"), (F.col("o_orderkey") % 12).cast("int").alias("added_round")
+    )
+    frontier = o.where(F.col("o_orderkey") % 7 == 0).select(
+        url.alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".shop.example"),
+        ).alias("host"),
+        (F.col("o_orderkey") % 3).cast("int").alias("depth"),
+    )
+    stale = stale_seen_urls(seen, current_round=10, ttl_rounds=4)
+    return merge_recrawl_frontier(frontier, stale, depth=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a2_pricing_summary": q_a2_pricing_summary,
@@ -1037,9 +1121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical spark-vs-DuckDB compare on the parked tail.
         "doc_fingerprint": q_doc_fingerprint,
         "c5_explode_split": q_c5_explode_split,
-        "c6_split_first": q_c6_split_first,
-        "c7_concat_tsv": q_c7_concat_tsv,
-        "c8_unix_millis": q_c8_unix_millis,
+        # r5 rotation (VERDICT r4 next-3/5): G7/G8/G9/G10 promoted
+        # into the graded head; their operator-twin scalar rows
+        # (c6/c7/c8, dedup_simhash) parked to the oracle-tested tail
+        "dedup_components": q_dedup_components,
+        "lm_surprisal": q_lm_surprisal,
+        "prep_corpus": q_prep_corpus,
+        "recrawl_due": q_recrawl_due,
         "c10_precision_digits": q_c10_precision_digits,
         "c2_placeholder_sub": q_c2_placeholder_sub,
         "f4_classify_frames": q_f4_classify_frames,
@@ -1057,7 +1145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1084,6 +1171,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c14_sorted_params": q_c14_sorted_params,
         # C9 (interval mapping) is graded by m1_msgtype_command_map:
         "w1_topic_cross_product": q_w1_topic_cross_product,
+        # r5 parks — operator-twins of still-graded rows:
+        # C6 split is the scalar twin of c5_explode_split's splitter:
+        "c6_split_first": q_c6_split_first,
+        # C7/K2 TSV roundtrip is graded via the frontier e2e TSV path:
+        "c7_concat_tsv": q_c7_concat_tsv,
+        # C8 unix-millis is a scalar twin of c10's digit arithmetic:
+        "c8_unix_millis": q_c8_unix_millis,
+        # simhash fingerprints are exercised INSIDE dedup_simhash_pairs
+        # (its oracle replays the identical fingerprint CTE):
+        "dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -1448,6 +1545,111 @@ def oracle_sql() -> dict[str, str]:
                              WHEN 1 THEN 12 ELSE 8 END
                         + octet_length(encode(text)) AS INT) AS n_bytes
             FROM documents""",
+        "dedup_components": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id % 211 AS src, (doc_id*13+5) % 211 AS dst
+              FROM documents),
+            und AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM e WHERE src <> dst),
+            reach(node, lbl) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+            comp AS (SELECT node, MIN(lbl) AS keeper FROM reach GROUP BY node)
+            SELECT node, keeper, node = keeper AS is_keeper FROM comp""",
+        "lm_surprisal": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents),
+            tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+            tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM counts),
+            logp AS (SELECT token,
+                     LN((cnt + 1.0) /
+                        ((SELECT n FROM tot) + 1.0 * (SELECT v FROM tot)))
+                       AS lp
+                     FROM counts)
+            SELECT tk.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+                   ROUND(-AVG(lp), 6) AS surprisal
+            FROM tk JOIN logp ON tk.token = logp.token
+            GROUP BY tk.doc_id""",
+        "prep_corpus": f"""
+            WITH h AS (SELECT doc_id, text,
+                   {hits(de)} AS h_de, {hits(en)} AS h_en, {hits(es)} AS h_es,
+                   {hits(fr)} AS h_fr, {hits(pt)} AS h_pt
+                   FROM documents),
+            m AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_pt) AS mx
+                  FROM h),
+            langed AS (SELECT doc_id, text,
+                   CASE WHEN mx < 1 THEN 'und'
+                        WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en'
+                        WHEN h_es = mx THEN 'es' WHEN h_fr = mx THEN 'fr'
+                        ELSE 'pt' END AS lang
+                   FROM m),
+            q AS (SELECT doc_id, text, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                     / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1)
+                     AS dr
+                  FROM langed),
+            gated AS (SELECT doc_id, text, lang, n_tokens FROM q
+                      WHERE lang = 'en' AND n_tokens BETWEEN 20 AND 100000
+                        AND dr >= 0.4),
+            keepx AS (SELECT md5(text) AS k, MIN(doc_id) AS keeper
+                      FROM gated GROUP BY 1),
+            uniq AS (SELECT g.* FROM gated g JOIN keepx
+                     ON md5(g.text) = keepx.k WHERE g.doc_id = keepx.keeper),
+            w AS (SELECT doc_id, lang, n_tokens, string_split(text, ' ') AS words
+                  FROM uniq),
+            c AS (SELECT w.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+                         array_to_string(
+                           list_slice(w.words, t.i*10+1, t.i*10+10), ' ')
+                           AS chunk
+                  FROM w, LATERAL unnest(
+                    range(CAST(ceil(len(w.words)/10.0) AS BIGINT))) AS t(i)),
+            f AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                  FROM c),
+            reasm AS (SELECT doc_id,
+                   COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE rn = 1), '') AS text_prepped,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+                  FROM f GROUP BY doc_id)
+            SELECT r.doc_id, r.text_prepped, u.lang,
+                   CAST(u.n_tokens AS BIGINT) AS n_tokens,
+                   r.n_chunks, r.n_kept
+            FROM reasm r JOIN uniq u USING (doc_id)
+            WHERE r.n_kept > 0""",
+        "recrawl_due": """
+            WITH u AS (SELECT
+                 'https://h' || CAST(o_custkey % 40 AS VARCHAR)
+                   || '.shop.example/p/' || CAST(o_orderkey AS VARCHAR)
+                   AS url,
+                 'h' || CAST(o_custkey % 40 AS VARCHAR) || '.shop.example'
+                   AS host,
+                 o_orderkey
+               FROM orders),
+            seen AS (SELECT url, CAST(o_orderkey % 12 AS INT) AS added_round
+                     FROM u),
+            frontier AS (SELECT url, host,
+                                CAST(o_orderkey % 3 AS INT) AS depth
+                         FROM u WHERE o_orderkey % 7 = 0),
+            stale AS (SELECT DISTINCT url FROM seen
+                      WHERE added_round <= 10 - 4),
+            re_rows AS (SELECT url,
+                   regexp_extract(url,
+                     '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                   0 AS depth
+                 FROM stale),
+            merged AS (SELECT url, host, depth FROM frontier
+                       UNION ALL SELECT url, host, depth FROM re_rows)
+            SELECT url, host, CAST(MIN(depth) AS INT) AS depth
+            FROM merged GROUP BY url, host""",
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count
@@ -1670,7 +1872,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, pattern,
                    CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
                    COUNT(DISTINCT url) >= 30 AS is_trap
-            FROM k GROUP BY host, pattern""",
+            FROM k WHERE host <> '' GROUP BY host, pattern""",
         "politeness_ewma": """
             WITH f AS (SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
                               value*10 AS latency, ts, event_id

@@ -53,6 +53,11 @@ def test_tail_is_only_redundant_rows():
         "a4_distinct_set",
         "c14_sorted_params",
         "w1_topic_cross_product",
+        # r5 parks (G7/G8/G9/G10 promoted into the graded head):
+        "c6_split_first",       # scalar twin of c5_explode_split
+        "c7_concat_tsv",        # TSV roundtrip graded via frontier e2e
+        "c8_unix_millis",       # scalar twin of c10 digit arithmetic
+        "dedup_simhash",        # fingerprints replayed inside _pairs oracle
     }
     assert set(_parked()) <= allowed
 
@@ -63,6 +68,10 @@ def test_tail_is_only_redundant_rows():
     "a4_distinct_set",
     "c14_sorted_params",
     "w1_topic_cross_product",
+    "c6_split_first",
+    "c7_concat_tsv",
+    "c8_unix_millis",
+    "dedup_simhash",
 ])
 def test_parked_query_matches_oracle(spark, name):
     qs = entrymod.queries()
