@@ -144,6 +144,37 @@ CHECKS = {
         "per-host EWMA fold: one hash exchange on host, Arrow-grouped "
         "pandas ewm kernel",
     ),
+    # round 5 additions (promoted graded rows)
+    "dedup_components": (
+        [r"Scan ExistingRDD", r"Join"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "labels read the final localCheckpoint (Scan ExistingRDD — "
+        "iteration lineage truncated); keeper derivation is a "
+        "hash-partitioned self-join, no Python, no all-pairs",
+    ),
+    "lm_surprisal": (
+        [r"HashAggregate", r"Join",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"BatchEvalPython", r"CartesianProduct", r"Exchange SinglePartition"],
+        "token explode + map-side-combined counts; tokens join the "
+        "logp table as a hash equi-join (AQE-splittable on stopword "
+        "skew); scan pruned to (doc_id, text); no Python in the plan",
+    ),
+    "prep_corpus": (
+        [r"HashAggregate", r"Join",
+         r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"BatchEvalPython", r"CartesianProduct", r"Window"],
+        "entire gate->dedup->chunk-dedup composition stays JVM-side: "
+        "codegen filters, min_by aggs + hash equi-joins (no window on "
+        "the hot chunk key), pruned scan",
+    ),
+    "recrawl_due": (
+        [r"HashAggregate"],
+        [r"Exchange SinglePartition", r"BatchEvalPython", r"CartesianProduct"],
+        "TTL filter + union + min-depth merge: one hash-partitioned "
+        "aggregate over (url, host) — the re-enqueue path shuffles "
+        "once and never single-partitions",
+    ),
 }
 
 
