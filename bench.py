@@ -826,7 +826,14 @@ def main():
     if args.components_only:
         spark = _spark(args.cpus)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # two sizes: the 2M fixture (cross-round comparable; stage-
+        # latency-bound at this N — ~9 iterations of fixed per-stage
+        # cost dominate, not data) and a 10x point where data work
+        # dominates and the per-edge rate is the one that extrapolates
         res = run_components(spark)
+        res["big"] = run_components(
+            spark, n_edges=20_000_000, n_nodes=5_000_000
+        )
         spark.stop()
         print(json.dumps(res))
         return
@@ -1230,18 +1237,39 @@ machine-minutes, amortized across the rounds between refreshes.
 """)
     cc = summary.get("components")
     if cc:
+        big = cc.get("big")
+        big_rows = (
+            f"\n| {big['n_edges']:,} | {big['n_nodes_labeled']:,} | "
+            f"{big['n_components']:,} | {big['wall_sec']} | "
+            f"{big['edges_per_sec']:,.0f} |"
+            if big
+            else ""
+        )
+        ratio = (
+            f" — the per-edge rate is {round(big['edges_per_sec'] / cc['edges_per_sec'], 1)}x"
+            f" HIGHER at 10x the edges"
+            if big
+            else ""
+        )
         out.append(f"""### 2.9 Near-dup clustering (connected components over pairs)
 
 `operators/components.connected_components` turns the dedup family's
-pair output into keeper clusters.  Synthetic LSH-shaped pair graph,
-{cc['n_edges']:,} edges / {cc['n_nodes_labeled']:,} labeled nodes →
-{cc['n_components']:,} components
-(`python bench.py --components-only`): **{cc['wall_sec']}s =
-{cc['edges_per_sec']:,.0f} edges/sec** including convergence detection.
-Min-label propagation + pointer jumping converges in O(log diameter)
-rounds; each round is one labels-side join into the co-partitioned
-edge list + one combiner groupBy — same shuffle discipline as the
-PageRank job above.
+pair output into keeper clusters (`python bench.py --components-only`):
+
+| edges | labeled nodes | components | wall (s) | edges/sec |
+|---|---|---|---|---|
+| {cc['n_edges']:,} | {cc['n_nodes_labeled']:,} | {cc['n_components']:,} | {cc['wall_sec']} | {cc['edges_per_sec']:,.0f} |{big_rows}
+
+Min-label propagation with DELTA filtering (after round 1 only
+CHANGED labels join the co-partitioned edge list — clique-dense LSH
+clusters converge in 2-3 rounds and the residual is the chain tail)
++ pointer jumping (O(log diameter) rounds) + ONE Spark job per
+iteration (the convergence count rides the checkpoint job as an
+Observation; checkpoint blocks released two generations behind).
+The small fixture is stage-LATENCY-bound — ~9 iterations of fixed
+per-stage scheduling cost dominate, the same Amdahl term as the
+pipeline's per-round serial floor{ratio}.  On a cluster with
+minutes-long stages the per-edge rate is the scaling number.
 """)
     return ("\n".join(out) + "\n") if out else ""
 

@@ -38,7 +38,7 @@ LocalCheckpointChain (ADVICE r4: unbounded block accumulation).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.ckpt import LocalCheckpointChain
@@ -50,6 +50,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     num_partitions: int | None = None,
+    delta_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Returns ``(node, component)`` — ``component`` is the minimum
     node id of the connected component (a canonical, deterministic
@@ -68,10 +69,16 @@ def connected_components(
     # the iteration joins labels on "b", so hash-partitioning on "b"
     # is what lets every round shuffle only the N-row label table
     # while the E-row edge list stays put
+    # ONE shuffle, not two: hash-partitioning on "b" co-locates every
+    # duplicate of an (a,b) row, and HashPartitioning({b}) satisfies
+    # the dedup aggregate's ClusteredDistribution({a,b}) — so the
+    # dropDuplicates after the repartition is partition-local (no
+    # second exchange), and the result stays partitioned on the join
+    # key the iterations need
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
         .repartition(num_partitions, "b")
+        .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges.count()
@@ -83,35 +90,57 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
 
-    for _ in range(max_iter):
+    # DELTA propagation (r5): labels only ever DECREASE, so a
+    # neighbor's label can improve a node only if it changed since it
+    # was last offered — after round 1 the edge join runs against the
+    # CHANGED set only, which collapses to the chain tail once the
+    # clique-dense clusters converge (round 2-3 for LSH output).  When
+    # the changed set is small enough (n_changed) it is broadcast, so
+    # the persisted edge list streams with NO shuffle and NO
+    # per-iteration sort.
+    #
+    # ONE Spark job per iteration: the checkpoint of the jumped label
+    # table ALSO carries the convergence count as an Observation
+    # (metrics fire on the checkpoint's materialization job), so no
+    # separate count job.  At small N the per-iteration floor is job
+    # overhead, not data — halving the job count is the real lever.
+    changed = labels
+    n_changed: int | None = None  # unknown => first round is full
+    for it in range(max_iter):
+        delta_src = changed.select(
+            F.col("node").alias("b"), F.col("component").alias("nbr")
+        )
+        if n_changed is not None and n_changed <= delta_broadcast_rows:
+            delta_src = F.broadcast(delta_src)
         neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("node", "b").withColumnRenamed(
-                    "component", "nbr"
-                ),
-                "b",
-            )
+            edges.join(delta_src, "b")
             .groupBy("a")
             .agg(F.min("nbr").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
-        # the ONE E-row pass of the iteration, materialized here so
-        # the jump below reads the result instead of re-running it;
-        # the pre-update label rides along for the convergence check
-        combined = chain.step(
-            labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least("component", F.coalesce("nbr_min", "component")).alias(
-                    "component"
-                ),
-            )
+        if n_changed is not None and n_changed <= delta_broadcast_rows:
+            # neighbor_min rows ≤ distinct neighbors of the changed
+            # set — same order as the delta; broadcasting it turns the
+            # label update into a map-side pass over the checkpointed
+            # label table (the bench runs AQE-off, so without this the
+            # left join shuffles all N labels every round)
+            neighbor_min = F.broadcast(neighbor_min)
+        combined = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least("component", F.coalesce("nbr_min", "component")).alias(
+                "component"
+            ),
         )
+        if it == 0:
+            # round 0's delta is the FULL edge set — materialize it so
+            # the self-join below doesn't run the E-row pass twice.
+            # Later rounds' combined is a cheap delta plan; the double
+            # execution inside one job beats a second checkpoint job.
+            combined = chain.step(combined)
         # pointer jump: component <- labels[component] (labels[x] <= x,
-        # so this only descends; halves remaining chain depth).  An
-        # N-row join of two projections of the checkpointed table —
-        # its plan stays shallow, so no checkpoint of its own.
-        jumped = combined.join(
+        # so this only descends; halves remaining chain depth)
+        jumped_plan = combined.join(
             combined.select(
                 F.col("node").alias("component"),
                 F.col("component").alias("_grand"),
@@ -123,7 +152,19 @@ def connected_components(
             "_old",
             F.coalesce("_grand", "component").alias("component"),
         )
-        n_changed = jumped.where(F.col("component") != F.col("_old")).count()
+        obs = Observation()
+        jumped = chain.step(
+            jumped_plan.observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("n"),
+            )
+        )
+        n_changed = int(obs.get["n"] or 0)
+        changed = jumped.where(F.col("component") != F.col("_old")).select(
+            "node", "component"
+        )
         labels = jumped.select("node", "component")
         if not n_changed:
             break
