@@ -1096,17 +1096,62 @@ def q_recrawl_due(spark, sf):
     return merge_recrawl_frontier(frontier, stale, depth=0)
 
 
+def q_repetition_filter(spark, sf):
+    """Gopher-style repetition quality signals
+    (functions/textstats.repetition_features): top-bigram fraction +
+    duplicate-trigram fraction per document, single-pass array
+    aggregates — zero shuffle, zero UDF, scan-speed at 100 TB.
+    Oracle replays the n-gram mode/duplicate counts via
+    unnest + group by in DuckDB."""
+    from crypto_crawler_rs_spark.functions.textstats import (
+        repetition_features,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", *repetition_features("text"))
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py):
+    training docs sharing 3-word shingles with the held-out set
+    (doc_id % 97 == 0 — a deterministic stand-in benchmark).  The
+    benchmark's distinct-shingle set is broadcast; the corpus
+    streams through it once (no all-pairs, one combiner groupBy)."""
+    from crypto_crawler_rs_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, k=3, min_overlap=1)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (operators/sampling.py):
+    exactly min(k, |stratum|) docs per (lang, source) stratum,
+    ranked by md5(doc_id) — WindowGroupLimit prunes per-stratum
+    top-k map-side before the exchange.  Oracle = the identical
+    ANSI row_number window in DuckDB."""
+    from crypto_crawler_rs_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d.select("doc_id", "lang", "source"), ["lang", "source"], k=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a2_pricing_summary": q_a2_pricing_summary,
-        "j1_anti_no_orders": q_j1_anti_no_orders,
         "j2_semi_parts_ordered": q_j2_semi_parts_ordered,
         "j3_broadcast_rank": q_j3_broadcast_rank,
         "f1_hot_filter": q_f1_hot_filter,
         "f3_status_filter": q_f3_status_filter,
         "o1_priority_sort": q_o1_priority_sort,
         "o2_topk_per_group": q_o2_topk_per_group,
-        "o3_chunking": q_o3_chunking,
         "u1_union_distinct": q_u1_union_distinct,
         "u3_except": q_u3_except,
         "a1_batch_commands": q_a1_batch_commands,
@@ -1153,7 +1198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "token_count": q_token_count,
+        # r5 additions: the webtext training-pipeline trio — Gopher
+        # repetition filters, benchmark decontamination, deterministic
+        # stratified sampling (their freed slots: j1_anti/token_count/
+        # o3_chunking parked below as operator-twins)
+        "repetition_filter": q_repetition_filter,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "pagerank_hostrank": q_pagerank_hostrank,
         "dedup_chunk": q_dedup_chunk,
         "url_trap_patterns": q_url_trap_patterns,
@@ -1172,6 +1223,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C9 (interval mapping) is graded by m1_msgtype_command_map:
         "w1_topic_cross_product": q_w1_topic_cross_product,
         # r5 parks — operator-twins of still-graded rows:
+        # J1's real witness is frontier_round0 (the engine's bloom +
+        # anti-join seen path) + e2e seen-set equality; this TPC-H
+        # left_anti row is the toy twin:
+        "j1_anti_no_orders": q_j1_anti_no_orders,
+        # token_count's n_ws_tokens is literally quality_score's
+        # n_tokens output column; BPE-ish splitter pinned in pytest:
+        "token_count": q_token_count,
+        # O3 chunking = row_number window per key, the same WindowExec
+        # graded (and plan-audited) via o2_topk_per_group:
+        "o3_chunking": q_o3_chunking,
         # C6 split is the scalar twin of c5_explode_split's splitter:
         "c6_split_first": q_c6_split_first,
         # C7/K2 TSV roundtrip is graded via the frontier e2e TSV path:
@@ -1650,6 +1711,70 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT url, host, depth FROM re_rows)
             SELECT url, host, CAST(MIN(depth) AS INT) AS depth
             FROM merged GROUP BY url, host""",
+        # word n-grams via 1-based list indexing; per-doc mode and
+        # duplicate totals via unnest + group by — the set-semantics
+        # twin of the Spark side's sorted-array run-length aggregate
+        "repetition_filter": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS ws
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest([ws[i] || ' ' || ws[i+1]
+                                  for i in range(1, len(ws))]) AS g
+                   FROM t WHERE len(ws) >= 2),
+            tg AS (SELECT doc_id,
+                          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - 1)]) AS g
+                   FROM t WHERE len(ws) >= 3),
+            bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+            tc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg GROUP BY 1, 2),
+            bstat AS (SELECT doc_id,
+                             MAX(n) * 1.0 / SUM(n) AS top_frac
+                      FROM bc GROUP BY doc_id),
+            tstat AS (SELECT doc_id,
+                             COALESCE(SUM(n) FILTER (n > 1), 0) * 1.0
+                               / SUM(n) AS dup_frac
+                      FROM tc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(bstat.top_frac, 0), 6)
+                     AS top_bigram_frac,
+                   ROUND(COALESCE(tstat.dup_frac, 0), 6)
+                     AS dup_trigram_frac
+            FROM documents d
+            LEFT JOIN bstat ON d.doc_id = bstat.doc_id
+            LEFT JOIN tstat ON d.doc_id = tstat.doc_id""",
+        # same shingling as the dedup family's oracles (single-space
+        # split, distinct 3-word shingles); benchmark = doc_id % 97
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(
+                            [array_to_string(ws[i:i+2], ' ')
+                             for i in range(1, len(ws) - 1)])) AS s
+                   FROM w WHERE len(ws) >= 3),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+            nn AS (SELECT doc_id, COUNT(*) AS n_shingles
+                   FROM corpus GROUP BY doc_id),
+            hits AS (SELECT c.doc_id, COUNT(*) AS overlap_shingles
+                     FROM corpus c JOIN bench USING (s)
+                     GROUP BY c.doc_id)
+            SELECT h.doc_id, h.overlap_shingles, nn.n_shingles,
+                   ROUND(h.overlap_shingles * 1.0 / nn.n_shingles, 6)
+                     AS contamination
+            FROM hits h JOIN nn USING (doc_id)
+            WHERE h.overlap_shingles >= 1""",
+        "stratified_sample": """
+            WITH r AS (SELECT doc_id, lang, source,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS sample_rank
+                       FROM documents)
+            SELECT doc_id, lang, source, CAST(sample_rank AS INT)
+                     AS sample_rank
+            FROM r WHERE sample_rank <= 3""",
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS dup_count

@@ -109,6 +109,97 @@ def quality_features(text_col: str = "text") -> list[Column]:
     ]
 
 
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Array of word n-grams (space-joined), pure JVM: slice the token
+    array against itself with an indexed ``transform`` — no explode, no
+    shuffle, evaluated inside whole-stage codegen at scan speed."""
+    t = tokens(text_col)
+    size = F.size(t)
+    # transform over the first (size-n+1) tokens; index i is 0-based,
+    # element access is 1-based
+    head = F.slice(t, 1, F.greatest(size - F.lit(n - 1), F.lit(0)))
+    return F.transform(
+        head,
+        lambda x, i: F.concat_ws(
+            " ", F.array(*[t[i + j] for j in range(n)])
+        ),
+    )
+
+
+def _run_length_stats(arr: Column) -> Column:
+    """Struct ``(top, dup, total)`` over a SORTED string array:
+    ``top`` = occurrences of the most frequent element, ``dup`` = total
+    occurrences of elements appearing more than once, ``total`` = array
+    size.  One ``aggregate`` pass over the array — the per-document
+    mode/duplicate computation without any groupBy or explode, which is
+    what keeps the repetition filters shuffle-free over 100 TB."""
+    sorted_arr = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        closed_dup = F.when(
+            ~same & (acc["run"] > 1), acc["dup"] + acc["run"]
+        ).otherwise(acc["dup"])
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            closed_dup.alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["top"].alias("top"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    stats = F.aggregate(sorted_arr, zero, step, finish)
+    return F.struct(
+        stats["top"].alias("top"),
+        stats["dup"].alias("dup"),
+        F.size(arr).cast("long").alias("total"),
+    )
+
+
+def repetition_features(text_col: str = "text") -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the 'repetition removal' family), adapted to word n-grams:
+
+    * ``top_bigram_frac``  — occurrences of the most frequent word
+      bigram / total bigrams ('fraction in most common 2-gram').
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram occurs more than once ('fraction in duplicate 3-grams').
+
+    Documents above ~0.18 / ~0.30 respectively are boilerplate or
+    generator loops in web corpora.  Both are single-pass array
+    aggregates per row: zero shuffle, zero UDF — the filter runs at
+    parquet scan speed, so applying it to 100 TB costs one read.
+    Empty/short texts (no n-grams) score 0.0.  Reference analog: the
+    per-message sanity filters before emit
+    (crypto-ws-client/src/common/message_handler.rs:4-22)."""
+    bi = _run_length_stats(_word_ngrams(text_col, 2))
+    tri = _run_length_stats(_word_ngrams(text_col, 3))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return [
+        frac(bi["top"], bi["total"]).alias("top_bigram_frac"),
+        frac(tri["dup"], tri["total"]).alias("dup_trigram_frac"),
+    ]
+
+
 def doc_fingerprint(text_col: str = "text") -> Column:
     """Deterministic content fingerprint: md5 of the
     whitespace-normalized, lowercased text (the 'rolling hash'

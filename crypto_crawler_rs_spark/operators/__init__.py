@@ -39,6 +39,8 @@ from .prep import prep_corpus
 from .lmscore import train_unigram_logprobs, unigram_surprisal_score
 from .components import connected_components, dedup_keep_list
 from .traps import host_of, mask_pattern, suppress_traps, trap_patterns
+from .decontaminate import contamination_report, decontaminate
+from .sampling import stratified_budgets, stratified_sample
 
 __all__ = [
     "global_rank",
@@ -84,4 +86,8 @@ __all__ = [
     "host_of",
     "mask_pattern",
     "trap_patterns",
+    "contamination_report",
+    "decontaminate",
+    "stratified_budgets",
+    "stratified_sample",
 ]

@@ -58,6 +58,11 @@ def test_tail_is_only_redundant_rows():
         "c7_concat_tsv",        # TSV roundtrip graded via frontier e2e
         "c8_unix_millis",       # scalar twin of c10 digit arithmetic
         "dedup_simhash",        # fingerprints replayed inside _pairs oracle
+        # r5 parks (repetition_filter/decontaminate/stratified_sample
+        # promoted into the graded head):
+        "j1_anti_no_orders",    # J1 graded by frontier_round0 + e2e seen-set
+        "token_count",          # projection of quality_score's n_tokens
+        "o3_chunking",          # WindowExec row_number twin of o2_topk
     }
     assert set(_parked()) <= allowed
 
@@ -72,6 +77,9 @@ def test_tail_is_only_redundant_rows():
     "c7_concat_tsv",
     "c8_unix_millis",
     "dedup_simhash",
+    "j1_anti_no_orders",
+    "token_count",
+    "o3_chunking",
 ])
 def test_parked_query_matches_oracle(spark, name):
     qs = entrymod.queries()

@@ -175,6 +175,27 @@ CHECKS = {
         "aggregate over (url, host) — the re-enqueue path shuffles "
         "once and never single-partitions",
     ),
+    # round 5 additions: the webtext training-pipeline trio
+    "repetition_filter": (
+        [r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"],
+        "Gopher repetition filters: ZERO exchanges — per-row array "
+        "aggregates evaluated in the scan stage, column-pruned to "
+        "(doc_id, text); the filter costs one parquet read at 100 TB",
+    ),
+    "decontaminate": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "benchmark shingle set broadcast: the corpus-side explode "
+        "streams through the join map-side; the only shuffle is the "
+        "per-doc overlap count groupBy",
+    ),
+    "stratified_sample": (
+        [r"WindowGroupLimit"],
+        [r"Exchange SinglePartition"],
+        "rank<=k per stratum planned as WindowGroupLimit: map-side "
+        "top-k pruning before the stratum exchange",
+    ),
 }
 
 
