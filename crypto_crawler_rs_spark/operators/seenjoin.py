@@ -17,24 +17,65 @@ applied executor-side inside the per-bucket load — nothing about the
 seen set ever reaches the driver (a deletion-heavy crawl previously
 grew a driver-side dict shipped in every task closure).
 
-Membership is fully vectorized: each bucket's surviving urls become a
-cached ``pd.Index`` whose hash table is built once and reused across
-batches (``get_indexer`` — no per-row Python).
+Membership is PROBE-INVERTED (r5): the links side is the small side
+by construction (one round's bloom-prefiltered discoveries — 10^5-10^6
+rows vs 10^10 seen), so the hash table is built over the task's LINK
+urls (a few thousand entries, cache-resident) and the seen bucket
+STREAMS through it via Arrow ``is_in`` — a probe-only C++ scan that
+never materializes the big side as python objects and never builds a
+hash table over it.  The earlier shape (pd.Index over the bucket's
+millions of urls, links probed against it) built a multi-million-entry
+string hash table in every one of the 32 concurrent python workers
+each round; the allocation + DRAM contention made the 50M-row point
+2.4x SLOWER than the plain shuffle anti-join.  Inverted, the per-round
+per-bucket cost is one streamed scan of (worker-cached) Arrow buffers.
+All non-trivial semantics (tombstone survival, duplicate deltas,
+legacy layouts) run on the matched subset, which is at most link-set
+sized.
 
-Memory model: one bucket's url set must fit a task — size
-``n_buckets >= total_urls / ~3M`` (at 10^10 urls: 4096 buckets ≈
-2.4M urls/bucket ≈ 200 MB of strings per task, streamed per
-partition).  The shuffle-based path remains the default and the
-semantics authority; equality is pinned by the e2e oracle tests with
+Memory model: one bucket's ARROW buffers must fit a task (they stream
+through ``is_in`` chunk-by-chunk and are worker-cached across rounds);
+the python-object footprint is O(|links in task|), not O(|bucket|).
+The shuffle-based path remains the default and the semantics
+authority; equality is pinned by the e2e oracle tests with
 ``seen_anti_join='bucket_pruned'``.
 """
 
 from __future__ import annotations
 
 from collections import OrderedDict
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.hashing import murmur3_32
+
+
+@lru_cache(maxsize=8)
+def _bucket_carriers(n_buckets: int) -> tuple:
+    """Carrier strings realizing an IDENTITY bucket->partition map.
+
+    ``repartition(n, col)`` places rows at ``pmod(murmur3(col), n)`` —
+    hashing the bucket NUMBER collides (measured at n=32: only 18 of
+    32 partitions populated, stragglers carrying 3 buckets' reads
+    serially — the whole tail of the 50M-row bench point).  Instead
+    the links are repartitioned on a carrier STRING chosen per bucket
+    so Spark's own hash lands it exactly on partition ``bucket`` —
+    found by brute force against the bit-exact python murmur3 twin
+    (expected n·ln n probes, microseconds, cached).  One task per
+    bucket, every task loaded, no sampling job (repartitionByRange
+    would cost one)."""
+    out: list = [None] * n_buckets
+    found, k = 0, 0
+    while found < n_buckets:
+        s = str(k)
+        b = murmur3_32(s) % n_buckets
+        if out[b] is None:
+            out[b] = s
+            found += 1
+        k += 1
+    return tuple(out)
 
 # -- worker-side immutable-delta cache ------------------------------
 # Delta roots are IMMUTABLE once a manifest references them
@@ -56,17 +97,83 @@ _PATH_CACHE_MAX_ROWS = int(
     _os.environ.get("SPARK_GRAFT_SEENJOIN_CACHE_ROWS", 5_000_000)
 )
 
+# -- node-shared zero-copy IPC cache ---------------------------------
+# The in-process cache above only helps when the SAME python worker
+# serves the same bucket again — task->worker assignment is random, so
+# the hit rate is ~n_cached/n_buckets and every round mostly re-pays
+# the parquet DECODE of its bucket (measured: the whole in-engine cost
+# of the bucket path at a 50M-row seen set).  Delta roots are
+# immutable, so the decode product itself can be shared across ALL
+# workers on the node: first touch converts the bucket to an Arrow IPC
+# file (atomic rename), every later access — any worker, any round —
+# memory-maps it ZERO-COPY and streams it through ``is_in`` straight
+# from the page cache.  This is the local-mode twin of a warm
+# cluster's executor-owned bucket cache.  Size-capped, mtime-LRU;
+# compaction writes new roots so stale entries age out.  Set the dir
+# env to a fast local disk in deployments; empty budget disables.
+_IPC_DIR = _os.environ.get("SPARK_GRAFT_SEENJOIN_IPC_DIR", "")
+_IPC_MAX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SEENJOIN_IPC_BYTES", 8 << 30)
+)
 
-def _read_bucket_part(path: str, bucket: int, columns: tuple):
-    """Cached read of one delta root's ``bucket=K`` dir — returns
-    per-column numpy arrays, or None when the dir doesn't exist.
+
+def _ipc_cache_path(path: str, bucket: int, columns: tuple) -> str | None:
+    """Cache file name keyed by (path, bucket, columns) AND a
+    fingerprint of the bucket dir's files (name/size/mtime): a dir
+    recreated at the same path with different data — tempdir reuse
+    across test sessions — can never hit a stale entry.  None when the
+    bucket dir doesn't exist (nothing to cache)."""
+    import hashlib
+    import tempfile
+
+    bdir = _os.path.join(path, f"bucket={bucket}")
+    try:
+        fp = sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in _os.scandir(bdir)
+            if not e.name.startswith(("_", "."))
+        )
+    except OSError:
+        return None
+    d = _IPC_DIR or _os.path.join(tempfile.gettempdir(), "seenjoin_ipc")
+    _os.makedirs(d, exist_ok=True)
+    key = hashlib.md5(
+        repr((_os.path.abspath(path), bucket, columns, fp)).encode()
+    ).hexdigest()
+    return _os.path.join(d, key + ".arrow")
+
+
+def _ipc_evict(cache_dir: str) -> None:
+    """Drop oldest IPC files until the dir fits the byte budget."""
+    try:
+        entries = [
+            (e.stat().st_mtime, e.path, e.stat().st_size)
+            for e in _os.scandir(cache_dir)
+            if e.name.endswith(".arrow")
+        ]
+    except OSError:
+        return
+    total = sum(s for _, _, s in entries)
+    for _, p, s in sorted(entries):
+        if total <= _IPC_MAX_BYTES:
+            break
+        try:
+            _os.unlink(p)  # readers' mmaps stay valid on POSIX
+            total -= s
+        except OSError:
+            pass
+
+
+def _read_bucket_table(path: str, bucket: int, columns: tuple):
+    """Cached read of one delta root's ``bucket=K`` dir — returns the
+    ARROW table, or None when the dir doesn't exist.
 
     The cache holds ARROW tables, not numpy object arrays: millions
     of long-lived python str objects would make every CPython gen-2
     GC walk them for the worker's whole lifetime, taxing ALL
     subsequent tasks (measured ~12% on the 1M-page crawl).  Arrow
-    buffers are GC-invisible; the numpy conversion happens per use
-    and its strings die young."""
+    buffers are GC-invisible and stream through ``is_in`` with no
+    python-object conversion at all."""
     global _PATH_CACHE_ROWS
     import os
 
@@ -76,17 +183,58 @@ def _read_bucket_part(path: str, bucket: int, columns: tuple):
     hit = _PATH_CACHE.get(key)
     if hit is not None:
         _PATH_CACHE.move_to_end(key)
-        t = hit[0]
-    else:
-        d = os.path.join(path, f"bucket={bucket}")
-        t = pq.read_table(d, columns=list(columns)) if os.path.isdir(d) else None
-        if _PATH_CACHE_MAX_ROWS > 0:
-            rows = t.num_rows if t is not None else 0
-            _PATH_CACHE[key] = (t, rows)
-            _PATH_CACHE_ROWS += rows
-            while _PATH_CACHE_ROWS > _PATH_CACHE_MAX_ROWS and len(_PATH_CACHE) > 1:
-                _k, (_v, _rows) = _PATH_CACHE.popitem(last=False)
-                _PATH_CACHE_ROWS -= _rows
+        return hit[0]
+    d = os.path.join(path, f"bucket={bucket}")
+    t = None
+    ipc = _ipc_cache_path(path, bucket, columns) if _IPC_MAX_BYTES > 0 else None
+    if ipc is not None and os.path.exists(ipc):
+        import pyarrow as pa
+
+        try:
+            # zero-copy: buffers stay memory-mapped, backed by the
+            # node's page cache — no decode, no allocation
+            t = pa.ipc.open_file(pa.memory_map(ipc)).read_all()
+        except (OSError, pa.ArrowInvalid):
+            t = None  # truncated/evicted mid-read -> fall through
+    if t is None:
+        # single-threaded read: this runs inside one of n_buckets
+        # python workers already reading in parallel — per-read thread
+        # pools just oversubscribe the box
+        t = (
+            pq.read_table(d, columns=list(columns), use_threads=False)
+            if os.path.isdir(d)
+            else None
+        )
+        if t is not None and ipc is not None:
+            import pyarrow as pa
+
+            tmp = f"{ipc}.tmp.{os.getpid()}"
+            try:
+                with pa.OSFile(tmp, "wb") as f:
+                    with pa.ipc.new_file(f, t.schema) as w:
+                        w.write_table(t)
+                os.replace(tmp, ipc)  # atomic: readers see whole files
+                _ipc_evict(os.path.dirname(ipc))
+            except OSError:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+    if _PATH_CACHE_MAX_ROWS > 0:
+        rows = t.num_rows if t is not None else 0
+        _PATH_CACHE[key] = (t, rows)
+        _PATH_CACHE_ROWS += rows
+        while _PATH_CACHE_ROWS > _PATH_CACHE_MAX_ROWS and len(_PATH_CACHE) > 1:
+            _k, (_v, _rows) = _PATH_CACHE.popitem(last=False)
+            _PATH_CACHE_ROWS -= _rows
+    return t
+
+
+def _read_bucket_part(path: str, bucket: int, columns: tuple):
+    """Numpy view of :func:`_read_bucket_table` (compat surface for
+    tests and callers that want arrays; the conversion's strings die
+    young)."""
+    t = _read_bucket_table(path, bucket, columns)
     if t is None:
         return None
     return tuple(t.column(c).to_numpy(zero_copy_only=False) for c in columns)
@@ -110,9 +258,19 @@ def filter_unseen_bucket_pruned(
     is exempt from tombstones, mirroring the shuffle path's
     ``seen ∪ current_delta`` construction).
     """
-    part = links.withColumn(
-        "_bucket", F.pmod(F.col("host_hash"), F.lit(n_buckets))
-    ).repartition(n_buckets, F.col("_bucket"))
+    carriers = _bucket_carriers(n_buckets)
+    part = (
+        links.withColumn(
+            "_bucket", F.pmod(F.col("host_hash"), F.lit(n_buckets))
+        )
+        .withColumn(
+            "_carrier",
+            F.element_at(
+                F.array(*[F.lit(c) for c in carriers]), F.col("_bucket") + 1
+            ),
+        )
+        .repartition(n_buckets, F.col("_carrier"))
+    )
     fields = {f.name: f.dataType.simpleString() for f in links.schema.fields}
     out_schema = ", ".join(f"{c} {fields[c]}" for c in out_cols)
     cols = list(out_cols)
@@ -122,128 +280,97 @@ def filter_unseen_bucket_pruned(
 
         import numpy as np
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        cache: dict[int, "pd.Index"] = {}
-        legacy_tomb: list = []  # lazily-loaded non-partitioned roots
-        legacy_seen: list = []  # lazily-loaded non-partitioned seen roots
+        # Materialize the task's links first: the links side is the
+        # SMALL side by construction (one round's bloom-prefiltered
+        # discoveries / n_buckets), and its url set is the hash table
+        # every seen scan probes against.
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        links_pdf = (
+            pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        )
 
-        def read_bucket(paths: list[str], bucket: int, columns: tuple):
-            """(per-column arrays) per path — through the worker-wide
-            immutable-delta cache, so across rounds only NEW delta
-            roots touch disk."""
-            parts = []
+        def legacy_rows(paths: list[str], columns: list[str]):
+            """Rows of roots written WITHOUT bucket dirs (a shuffle-
+            mode run resumed under bucket_pruned — ADVICE r3 #1: they
+            must not silently read as empty).  Read whole, once per
+            task; the url-membership probe below confines them to the
+            matched subset immediately."""
+            whole = []
             for p in paths:
-                arrs = _read_bucket_part(p, bucket, columns)
-                if arrs is not None:
-                    parts.append(arrs)
-            return parts
-
-        def tomb_frame(bucket: int):
-            frames = [
-                pd.DataFrame({"url": u, "tomb_round": r})
-                for u, r in read_bucket(tomb_paths, bucket, ("url", "tomb_round"))
-            ]
-            # legacy compat: tombstones written before bucket_pruned
-            # mode have no bucket dirs — read them whole, once per
-            # task (urls of other buckets simply never match)
-            if not legacy_tomb:
-                whole = []
-                for p in tomb_paths:
-                    has_bucket_dirs = any(
-                        e.startswith("bucket=") for e in os.listdir(p)
-                    ) if os.path.isdir(p) else False
-                    if not has_bucket_dirs:
-                        t = pq.read_table(p, columns=["url", "tomb_round"])
-                        if t.num_rows:
-                            whole.append(t.to_pandas())
-                legacy_tomb.append(
-                    pd.concat(whole, ignore_index=True) if whole else None
+                has_bucket_dirs = os.path.isdir(p) and any(
+                    e.startswith("bucket=") for e in os.listdir(p)
                 )
-            if legacy_tomb[0] is not None:
-                frames.append(legacy_tomb[0])
-            if not frames:
-                return None
-            t = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
-            return t.groupby("url", sort=False)["tomb_round"].max()
+                if os.path.isdir(p) and not has_bucket_dirs:
+                    t = pq.read_table(p, columns=columns)
+                    if t.num_rows:
+                        whole.append(t)
+            return whole
 
-        def legacy_seen_frame():
-            """Seen deltas written before bucket_pruned mode (a
-            shuffle-mode run being resumed under bucket_pruned) have
-            no ``bucket=K`` dirs — without this fallback the whole
-            previously-seen set would read as EMPTY and be silently
-            re-crawled (ADVICE r3 #1).  Read each flat root once per
-            task and recompute the bucket from host_hash (same
-            pmod(host_hash, n) as the writer)."""
-            if not legacy_seen:
-                whole = []
-                for p in seen_paths:
-                    has_bucket_dirs = os.path.isdir(p) and any(
-                        e.startswith("bucket=") for e in os.listdir(p)
-                    )
-                    if os.path.isdir(p) and not has_bucket_dirs:
-                        t = pq.read_table(
-                            p, columns=["url", "host_hash", "added_round"]
-                        )
-                        if t.num_rows:
-                            f = t.to_pandas()
-                            # numpy % matches Spark pmod for positive n
-                            f["_bucket"] = (
-                                f["host_hash"].to_numpy().astype(np.int64)
-                                % np.int64(n_buckets)
-                            )
-                            whole.append(f)
-                legacy_seen.append(
-                    pd.concat(whole, ignore_index=True) if whole else None
-                )
-            return legacy_seen[0]
+        legacy_seen = legacy_rows(
+            seen_paths, ["url", "added_round"] if tomb_paths else ["url"]
+        )
+        legacy_tomb = (
+            legacy_rows(tomb_paths, ["url", "tomb_round"]) if tomb_paths else []
+        )
 
-        def load(bucket: int) -> "pd.Index":
-            # no tombstones -> only the url column is ever consulted
-            cols = ("url", "added_round") if tomb_paths else ("url",)
-            parts = read_bucket(seen_paths, bucket, cols)
-            url_parts = [p[0] for p in parts]
-            round_parts = [p[1] for p in parts] if tomb_paths else []
-            lf = legacy_seen_frame()
-            if lf is not None:
-                sel = lf["_bucket"].to_numpy() == bucket
-                if sel.any():
-                    url_parts.append(lf.loc[sel, "url"].to_numpy())
-                    if tomb_paths:
-                        round_parts.append(lf.loc[sel, "added_round"].to_numpy())
-            if not url_parts:
-                return pd.Index([], dtype=object)
-            urls = np.concatenate(url_parts)
-            tomb = tomb_frame(bucket) if tomb_paths else None
-            if tomb is not None and len(tomb):
-                rounds = np.concatenate(round_parts)
-                seen = pd.DataFrame({"url": urls, "added_round": rounds})
-                tr = seen["url"].map(tomb)
-                keep = (
-                    tr.isna()
-                    | (seen["added_round"] > tr)
-                    | (seen["added_round"] == current_round)
-                )
-                urls = seen.loc[keep, "url"].to_numpy()
-            # unique Index: its hash table is built on first
-            # get_indexer and REUSED across every batch of this task
-            return pd.Index(pd.unique(urls))
+        def matched(tables, link_set, columns: tuple) -> "pd.DataFrame":
+            """Concatenated rows (as pandas, small) of ``tables``
+            whose url is in ``link_set`` — the probe-only scan: the
+            big side streams through ``is_in`` chunk by chunk and only
+            the (<= |links|-sized) hits become python objects."""
+            hits = []
+            for t in tables:
+                if t is None or t.num_rows == 0:
+                    continue
+                m = pc.is_in(t.column("url"), value_set=link_set)
+                if pc.any(m).as_py():
+                    hits.append(t.select(list(columns)).filter(m))
+            if not hits:
+                return pd.DataFrame({c: [] for c in columns})
+            return pa.concat_tables(hits).to_pandas()
 
-        for pdf in batches:
-            if not len(pdf):
+        buckets_arr = links_pdf["_bucket"].to_numpy()
+        url_arr = links_pdf["url"].to_numpy()
+        mask = np.ones(len(links_pdf), dtype=bool)
+        seen_cols = ("url", "added_round") if tomb_paths else ("url",)
+        for b in np.unique(buckets_arr):
+            sel = buckets_arr == b
+            link_set = pc.unique(pa.array(url_arr[sel], type=pa.string()))
+            bucket_tables = [
+                _read_bucket_table(p, int(b), seen_cols) for p in seen_paths
+            ] + legacy_seen
+            seen_hits = matched(bucket_tables, link_set, seen_cols)
+            if not len(seen_hits):
                 continue
-            buckets = pdf["_bucket"].to_numpy()
-            urls = pdf["url"].to_numpy()
-            mask = np.empty(len(pdf), dtype=bool)
-            for b in np.unique(buckets):
-                sel = buckets == b
-                idx = cache.get(int(b))
-                if idx is None:
-                    idx = cache[int(b)] = load(int(b))
-                if len(idx) == 0:
-                    mask[sel] = True
-                else:
-                    mask[sel] = idx.get_indexer(urls[sel]) == -1
-            yield pdf.loc[mask, cols]
+            if tomb_paths:
+                tomb_tables = [
+                    _read_bucket_table(p, int(b), ("url", "tomb_round"))
+                    for p in tomb_paths
+                ] + legacy_tomb
+                tomb_hits = matched(
+                    tomb_tables, link_set, ("url", "tomb_round")
+                )
+                if len(tomb_hits):
+                    tomb_max = tomb_hits.groupby("url", sort=False)[
+                        "tomb_round"
+                    ].max()
+                    tr = seen_hits["url"].map(tomb_max)
+                    keep = (
+                        tr.isna()
+                        | (seen_hits["added_round"] > tr)
+                        | (seen_hits["added_round"] == current_round)
+                    )
+                    seen_hits = seen_hits.loc[keep]
+                    if not len(seen_hits):
+                        continue
+            seen_urls = pd.unique(seen_hits["url"].to_numpy())
+            mask[sel] &= ~pd.Series(url_arr[sel]).isin(seen_urls).to_numpy()
+        yield links_pdf.loc[mask, cols]
 
     return part.mapInPandas(run, schema=out_schema)

@@ -68,6 +68,17 @@ class FrontierConfig:
     # range-partitioned rank (operators/rank.py)
     small_rank_threshold: int = 200_000
     compact_seen_every: int = 8  # merge seen deltas every N rounds
+    # LSM-style seen layout (r5): per-round deltas below this size
+    # write FLAT — no pre-repartition, no dynamic-partition writer,
+    # two fewer stages in the per-round floor (measured +1.3s/round
+    # for a 65k-row delta written bucketed).  The probe-inverted
+    # reader streams small flat roots through every task's is_in at
+    # negligible cost, and compaction folds them into bucketed
+    # snapshots on its normal cadence.  Deltas larger than this (the
+    # prior frontier size is the driver-known proxy) write bucketed
+    # directly — at 10^7-row rounds a flat delta would be re-read
+    # whole by every one of the 4096 tasks.
+    seen_delta_flat_max_rows: int = 2_000_000
     # AQE re-plans each shuffle as a separate stage with a driver
     # barrier; the round loop's shuffles are fixed-key and pre-salted
     # (skew handled explicitly), so adaptive re-planning buys nothing
@@ -913,9 +924,18 @@ class FrontierScheduler:
         seen_delta = self._seen_delta(
             fetched.select("url", "host").unionByName(denied.select("url", "host")),
             rnd,
-        ).repartition(
-            cfg.n_seen_buckets, F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets))
         )
+        seen_partition = self._seen_partition_by
+        if seen_partition and (
+            manifest.get("frontier_size", 0) <= cfg.seen_delta_flat_max_rows
+        ):
+            # LSM layout: small delta -> flat file, compaction buckets
+            seen_partition = None
+        if seen_partition:
+            seen_delta = seen_delta.repartition(
+                cfg.n_seen_buckets,
+                F.pmod(F.col("host_hash"), F.lit(cfg.n_seen_buckets)),
+            )
 
         # everything up to here is LAZY plan construction plus the
         # round's state reads (manifest parquet opens, bloom load) —
@@ -937,7 +957,7 @@ class FrontierScheduler:
                 fb = pool.submit(self.store.write, new_state, rnd + 1, "host_state")
                 fc = pool.submit(
                     self.store.write, seen_delta, rnd, "seen_delta",
-                    None, self._seen_partition_by,
+                    None, seen_partition,
                 )
                 fetched_path = fa.result()
                 host_state_path = fb.result()
@@ -946,7 +966,7 @@ class FrontierScheduler:
             fetched_path = self.store.write(log, rnd, "fetched")
             host_state_path = self.store.write(new_state, rnd + 1, "host_state")
             seen_path = self.store.write(
-                seen_delta, rnd, "seen_delta", partition_by=self._seen_partition_by
+                seen_delta, rnd, "seen_delta", partition_by=seen_partition
             )
         seen_delta = self.store.read(seen_path)
         _mark("fetch_and_state_writes")
