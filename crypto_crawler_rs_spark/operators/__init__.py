@@ -41,6 +41,7 @@ from .components import connected_components, dedup_keep_list
 from .traps import host_of, mask_pattern, suppress_traps, trap_patterns
 from .decontaminate import contamination_report, decontaminate
 from .sampling import stratified_budgets, stratified_sample
+from .winnow import winnow_fingerprints, winnow_passage_pairs
 
 __all__ = [
     "global_rank",
@@ -90,4 +91,6 @@ __all__ = [
     "decontaminate",
     "stratified_budgets",
     "stratified_sample",
+    "winnow_fingerprints",
+    "winnow_passage_pairs",
 ]

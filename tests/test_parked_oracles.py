@@ -63,6 +63,7 @@ def test_tail_is_only_redundant_rows():
         "j1_anti_no_orders",    # J1 graded by frontier_round0 + e2e seen-set
         "token_count",          # projection of quality_score's n_tokens
         "o3_chunking",          # WindowExec row_number twin of o2_topk
+        "f3_status_filter",     # predicate-filter twin of f1_hot_filter
     }
     assert set(_parked()) <= allowed
 
@@ -80,6 +81,7 @@ def test_tail_is_only_redundant_rows():
     "j1_anti_no_orders",
     "token_count",
     "o3_chunking",
+    "f3_status_filter",
 ])
 def test_parked_query_matches_oracle(spark, name):
     qs = entrymod.queries()

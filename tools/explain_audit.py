@@ -196,6 +196,13 @@ CHECKS = {
         "rank<=k per stratum planned as WindowGroupLimit: map-side "
         "top-k pruning before the stratum exchange",
     ),
+    "winnow_passages": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "winnowing: fingerprint selection is pure scan-stage array "
+        "ops; pair detection is a df-capped inverted-index equi-join "
+        "— banded, never all-pairs",
+    ),
 }
 
 
