@@ -780,7 +780,7 @@ def main():
     ap.add_argument("--big", action="store_true")
     ap.add_argument(
         "--scale-config", action="store_true",
-        help="frontier runs with bucket_pruned + sharded probe + sized bloom",
+        help="frontier runs with bucket_pruned seen path + sized bloom (auto thresholds)",
     )
     ap.add_argument(
         "--frontier-repeats", type=int, default=3,
@@ -923,16 +923,25 @@ def main():
         # §2.5 isolation (r5: 1.02x at 6 rounds, 1.11x at 14).
         seeded = "50000000"
         seeded_rounds = "14"
+        # INTERLEAVED best-of-2 (D S D S): a single-shot pair is at
+        # the mercy of shared-box drift — one r5 pair measured 1.11x
+        # and another 0.84x with identical binaries.  Interleaving
+        # puts both configs through the same noise window; best-of
+        # per config is the same protocol as tools/ab_frontier.py.
+        seeded_args = ["--frontier-only", "--big", "--seed-seen", seeded,
+                       "--rounds", seeded_rounds, "--cpus", "32"]
+        seeded_runs = {"default": [], "scale": []}
+        for _rep in range(2):
+            seeded_runs["default"].append(sub(seeded_args))
+            seeded_runs["scale"].append(sub(seeded_args + ["--scale-config"]))
         pipeline_seeded = {
-            "default": sub(
-                ["--frontier-only", "--big", "--seed-seen", seeded,
-                 "--rounds", seeded_rounds, "--cpus", "32"]
-            ),
-            "scale": sub(
-                ["--frontier-only", "--big", "--seed-seen", seeded,
-                 "--rounds", seeded_rounds, "--scale-config", "--cpus", "32"]
-            ),
+            cfg: max(rs, key=lambda r: r["urls_per_sec"])
+            for cfg, rs in seeded_runs.items()
         }
+        for cfg, rs in seeded_runs.items():
+            pipeline_seeded[cfg]["urls_per_sec_runs"] = [
+                r["urls_per_sec"] for r in rs
+            ]
         # per-phase serial-floor attribution (VERDICT r4 next-4)
         pipeline_profile = sub(
             ["--frontier-only", "--big", "--profile", "--cpus", "32"]
@@ -1443,13 +1452,16 @@ commits.  (`python bench.py --frontier-only --big --cpus N`)
 |---|---|---|---|---|---|
 | 8  | default | {pd_[8]['urls_per_sec']} | {pd_[8]['wall_sec']} | {pd_[8]['scheduled']} | {pd_[8]['links_deduped']} |
 | 32 | default | {pd_[32]['urls_per_sec']} | {pd_[32]['wall_sec']} | {pd_[32]['scheduled']} | {pd_[32]['links_deduped']} |
-| 32 | scale (bucket_pruned + sharded probe + sized bloom) | {ps['urls_per_sec']} | {ps['wall_sec']} | {ps['scheduled']} | {ps['links_deduped']} |
+| 32 | scale (bucket_pruned seen + sized bloom, auto thresholds) | {ps['urls_per_sec']} | {ps['wall_sec']} | {ps['scheduled']} | {ps['links_deduped']} |
 
 The scale config is the declared 10^10 shape: exact seen membership
 by bucket-pruned file reads (zero seen-side shuffle,
-operators/seenjoin.py with vectorized pd.Index membership), bloom
-probing by partition-aligned mmap (no whole-filter broadcast), filter
-sized by expected cardinality.  Its payoff grows with seen-set size —
+operators/seenjoin.py — probe-inverted Arrow is_in over a node-shared
+zero-copy IPC bucket cache), bloom filter sized by expected
+cardinality, probe mode and bitmap build on their auto thresholds
+(they flip to the sharded-mmap probe / executor-side build exactly
+when the bitmap outgrows broadcast or the frontier outgrows the
+driver).  Its payoff grows with seen-set size —
 the default path re-shuffles the ENTIRE seen set every round, the
 scale path reads only each task's bucket files.  On THIS corpus the
 seen set only reaches ~0.6M rows by round 6, around the bucket
@@ -1470,8 +1482,11 @@ isolates the per-round parallel work and is the number that scales.
 The recurring per-round scale cost: exact unseen check of a
 200k-link batch against a growing seen set — `left_anti` (shuffles
 the seen set) vs bucket-pruned membership (reads only each task's
-bucket files; vectorized pd.Index probe).  Best of 2 per point
-(`python bench.py --seenjoin-only`):
+bucket files; r5 probe-INVERSION: the hash table is built over the
+200k links, the seen bucket streams through Arrow ``is_in`` from a
+node-shared zero-copy IPC cache — run 1 converts parquet buckets to
+mmap-able Arrow files, run 2 is the steady state a real crawl lives
+in).  Best of 2 per point (`python bench.py --seenjoin-only`):
 
 | seen rows | shuffle (s) | bucket_pruned (s) | speedup |
 |---|---|---|---|
@@ -1480,10 +1495,13 @@ The bucket path's advantage grows with the seen/links ratio — at
 10^10 seen rows the shuffle path moves the whole table through the
 network every round, the bucket path stays O(links + touched-bucket
 files).  (r2 measured a TIE at 1M with the per-row Python probe;
-the vectorized probe moved the crossover below it.)  Delta roots are
-immutable, so reused python workers additionally cache per-bucket
-arrow tables across rounds (`SPARK_GRAFT_SEENJOIN_CACHE_ROWS`,
-operators/seenjoin.py) — recurring rounds re-read only NEW deltas.
+the vectorized probe moved the crossover below it; r5's inversion +
+IPC cache made the bucket time FLAT — ~0.7s from 1M to 50M rows —
+because the per-round cost is a probe-only mmap scan, never a decode
+or a hash build over the big side.)  Delta roots are immutable, so
+the IPC cache (`SPARK_GRAFT_SEENJOIN_IPC_DIR/_BYTES`) plus the
+in-worker arrow cache (`SPARK_GRAFT_SEENJOIN_CACHE_ROWS`) mean
+recurring rounds re-read only NEW deltas.
 
 {_maintenance_sections(summary)}{_ab_section()}## 3. Reference baseline
 
