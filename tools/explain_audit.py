@@ -146,11 +146,12 @@ CHECKS = {
     ),
     # round 5 additions (promoted graded rows)
     "dedup_components": (
-        [r"Scan ExistingRDD", r"Join"],
-        [r"CartesianProduct", r"BatchEvalPython"],
-        "labels read the final localCheckpoint (Scan ExistingRDD — "
-        "iteration lineage truncated); keeper derivation is a "
-        "hash-partitioned self-join, no Python, no all-pairs",
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Exchange"],
+        "the keeper table is a pure PROJECTION of the final "
+        "localCheckpoint (Scan ExistingRDD — iteration lineage truly "
+        "cut; r5's observation-fused convergence means the last "
+        "checkpoint IS the result, no trailing join or exchange)",
     ),
     "lm_surprisal": (
         [r"HashAggregate", r"Join",
