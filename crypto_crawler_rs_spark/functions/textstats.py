@@ -110,20 +110,23 @@ def quality_features(text_col: str = "text") -> list[Column]:
 
 
 def _word_ngrams(text_col: str, n: int) -> Column:
-    """Array of word n-grams (space-joined), pure JVM: slice the token
-    array against itself with an indexed ``transform`` — no explode, no
-    shuffle, evaluated inside whole-stage codegen at scan speed."""
+    """Array of word n-grams (space-joined), pure JVM: zip the n
+    shifted slices of the token array pairwise with concat — no
+    explode, no shuffle, and crucially no outer-array reference inside
+    a lambda (an indexed ``transform`` touching ``t[i+j]`` re-evaluates
+    the whole tokenization per ELEMENT in interpreted HOF evaluation —
+    O(len²) per row, the r5 bench stall).  Each array here is
+    referenced a constant number of times: O(n·len) per row."""
     t = tokens(text_col)
     size = F.size(t)
-    # transform over the first (size-n+1) tokens; index i is 0-based,
-    # element access is 1-based
-    head = F.slice(t, 1, F.greatest(size - F.lit(n - 1), F.lit(0)))
-    return F.transform(
-        head,
-        lambda x, i: F.concat_ws(
-            " ", F.array(*[t[i + j] for j in range(n)])
-        ),
-    )
+    length = F.greatest(size - F.lit(n - 1), F.lit(0))
+    out = F.slice(t, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(t, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
 
 
 def _run_length_stats(arr: Column) -> Column:

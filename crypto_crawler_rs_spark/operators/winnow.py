@@ -38,37 +38,97 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 4,
     w: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Adds ``fingerprints``: the document's DISTINCT selected k-gram
-    hashes (md5 hex of space-joined k-token grams), one ``array_min``
-    per sliding window of ``w`` grams.  Documents shorter than k
-    tokens get an empty array."""
+    """Returns ``(id_col, fingerprints)``: the document's DISTINCT
+    selected k-gram hashes (md5 hex of space-joined k-token grams),
+    one min per sliding window of ``w`` grams.  Documents shorter
+    than k tokens get an empty array.
+
+    Two implementations with IDENTICAL output (pinned by
+    ``test_winnow_impls_equivalent``): ``impl='hof'`` is pure JVM
+    (zip_with of shifted slices — zero shuffle, zero python), but
+    higher-order functions are INTERPRETED per element and the md5
+    transform is re-evaluated once per window-shift, measured 24.7s
+    at sf0.1; ``impl='arrow'`` (default) does the same selection over
+    Arrow batches in python (~2s) — the same stay-JVM exception the
+    repo already measured for ``shingle_rows``."""
+    if impl == "arrow":
+        def gen(batches):
+            import hashlib
+
+            import pandas as pd
+
+            for pdf in batches:
+                ids, fps = [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = (text or "").strip().split()
+                    grams = [
+                        hashlib.md5(
+                            " ".join(toks[i : i + k]).encode()
+                        ).hexdigest()
+                        for i in range(len(toks) - k + 1)
+                    ]
+                    if not grams:
+                        sel = []
+                    elif len(grams) < w:
+                        sel = [min(grams)]
+                    else:
+                        sel = list(
+                            dict.fromkeys(
+                                min(grams[j : j + w])
+                                for j in range(len(grams) - w + 1)
+                            )
+                        )
+                    ids.append(did)
+                    fps.append(sel)
+                yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+
+        return df.select(id_col, text_col).mapInPandas(
+            gen, schema=f"{id_col} long, fingerprints array<string>"
+        )
+    if impl != "hof":
+        raise ValueError(f"unknown winnow impl {impl!r}")
+    # INTERPRETED-HOF CAUTION (the r5 bench stall): an outer-column
+    # reference INSIDE a lambda is re-evaluated per element — a naive
+    # `array_min(slice(grams, i+1, w))` per window recomputes ALL n
+    # gram md5s for EVERY window = O(n²) md5s per row (~30 min single
+    # stage at sf0.1).  Instead every n-ary combine below is built
+    # from SHIFTED SLICES zipped pairwise, so each outer array is
+    # referenced a constant number of times: O((k+w)·n) per row.
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(t)
     n_grams = F.greatest(n - F.lit(k - 1), F.lit(0))
-    grams = F.transform(
-        F.slice(t, 1, n_grams),
-        lambda x, i: F.md5(
-            F.concat_ws(
-                " ", F.array(*[t[i + j] for j in range(k)])
-            ).cast("binary")
-        ),
+
+    def shifted_zip(arr, width: int, length, combine):
+        out = F.slice(arr, 1, length)
+        for j in range(1, width):
+            out = F.zip_with(out, F.slice(arr, 1 + j, length), combine)
+        return out
+
+    # k-gram strings: zip the k shifted token slices with concat
+    gram_strs = shifted_zip(
+        t, k, n_grams, lambda a, b: F.concat(a, F.lit(" "), b)
     )
-    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
-    selected = F.transform(
-        F.slice(grams, 1, n_windows),
-        lambda x, i: F.array_min(F.slice(grams, i + 1, w)),
+    grams = F.transform(gram_strs, lambda s: F.md5(s.cast("binary")))
+    # lengths derived from the TOKEN count, not size(grams): a
+    # size(grams) operand inside each slice would re-run the whole
+    # gram pipeline once per slice (same interpreted-HOF trap)
+    n_windows = F.greatest(n - F.lit(k + w - 2), F.lit(0))
+    # per-window min: zip the w shifted gram slices with least
+    selected = shifted_zip(
+        grams, w, n_windows, lambda a, b: F.least(a, b)
     )
     # short docs (k <= tokens < k+w-1): fewer grams than a window —
     # keep their single min so passages at doc granularity still match
     short = F.when(
-        (F.size(grams) > 0) & (n_windows == 0),
+        (n_grams > 0) & (n_windows == 0),
         F.array(F.array_min(grams)),
     )
     fps = F.coalesce(
         F.when(n_windows > 0, F.array_distinct(selected)), short, F.array()
     )
-    return df.withColumn("fingerprints", fps)
+    return df.select(id_col, fps.alias("fingerprints"))
 
 
 def winnow_passage_pairs(
@@ -79,6 +139,7 @@ def winnow_passage_pairs(
     w: int = 4,
     min_shared: int = 2,
     df_cap: int = 100,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` selected fingerprints
     — candidates for passage-level duplication.  ``df_cap`` drops
@@ -87,7 +148,7 @@ def winnow_passage_pairs(
     skew guard as ``ngram_jaccard_pairs``).  Returns
     ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``."""
     fp = (
-        winnow_fingerprints(df, id_col, text_col, k, w)
+        winnow_fingerprints(df, id_col, text_col, k, w, impl=impl)
         .select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("_fp"))
     )
     keep = (

@@ -60,11 +60,28 @@ def test_local_guarantee_shared_passage_detected(spark):
     assert not any(3 in p for p in pairs)
 
 
-def test_fingerprint_plan_zero_shuffle(spark):
+def test_winnow_impls_equivalent(spark):
+    """arrow (production, Arrow-batched python) and hof (pure JVM)
+    must emit the identical fingerprint sets."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, impl="arrow").collect()
+    }
+    h = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, impl="hof").collect()
+    }
+    assert a == h
+
+
+def test_fingerprint_hof_plan_zero_shuffle(spark):
+    """The JVM impl stays inside the scan stage: no Exchange, no
+    python (the arrow impl trades one ArrowEvalPython for the
+    interpreted-HOF md5 re-evaluation — see module docstring)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = (
-        winnow_fingerprints(docs)
-        .select("doc_id", "fingerprints")
+        winnow_fingerprints(docs, impl="hof")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

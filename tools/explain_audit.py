@@ -199,10 +199,12 @@ CHECKS = {
     ),
     "winnow_passages": (
         [r"HashAggregate"],
-        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
-        "winnowing: fingerprint selection is pure scan-stage array "
-        "ops; pair detection is a df-capped inverted-index equi-join "
-        "— banded, never all-pairs",
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "winnowing: fingerprint selection over Arrow batches (the "
+        "measured stay-JVM exception, same as shingle_rows; a pure-"
+        "JVM hof twin is impl-equivalence-pinned); pair detection is "
+        "a df-capped inverted-index equi-join — banded, never "
+        "all-pairs",
     ),
 }
 
