@@ -82,6 +82,17 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges.count()
+    # max degree bounds neighbor_min's row count (ADVICE r5): the
+    # delta join's output has at most one row per distinct NEIGHBOR
+    # of the changed set, i.e. <= n_changed * max_degree — NOT
+    # <= n_changed.  One changed hub adjacent to most of the graph
+    # makes neighbor_min ~N rows; broadcasting that is a driver OOM
+    # at exactly the 10^9-node scale this operator targets.  One
+    # cached-scan aggregate up front buys a safe gate for every
+    # iteration (LSH/near-dup output is bounded-degree, so the
+    # no-shuffle fast path still engages there).
+    max_deg_row = edges.groupBy("b").count().agg(F.max("count")).first()
+    max_deg = int(max_deg_row[0] or 1)
 
     chain = LocalCheckpointChain(spark, keep=2)
     labels = chain.step(
@@ -118,12 +129,18 @@ def connected_components(
             .agg(F.min("nbr").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
-        if n_changed is not None and n_changed <= delta_broadcast_rows:
+        if (
+            n_changed is not None
+            and n_changed * max_deg <= delta_broadcast_rows
+        ):
             # neighbor_min rows ≤ distinct neighbors of the changed
-            # set — same order as the delta; broadcasting it turns the
+            # set ≤ n_changed * max_degree; broadcasting it turns the
             # label update into a map-side pass over the checkpointed
             # label table (the bench runs AQE-off, so without this the
-            # left join shuffles all N labels every round)
+            # left join shuffles all N labels every round).  The
+            # degree factor keeps the hint off for hub-heavy graphs
+            # where "neighbors of the delta" can be ~N rows even when
+            # the delta itself is tiny (ADVICE r5).
             neighbor_min = F.broadcast(neighbor_min)
         combined = labels.join(neighbor_min, "node", "left").select(
             "node",

@@ -135,8 +135,32 @@ def _ipc_cache_path(path: str, bucket: int, columns: tuple) -> str | None:
         )
     except OSError:
         return None
-    d = _IPC_DIR or _os.path.join(tempfile.gettempdir(), "seenjoin_ipc")
-    _os.makedirs(d, exist_ok=True)
+    # default dir is PER-USER and permission-checked (ADVICE r5): a
+    # world-shared fixed path lets another local user pre-create the
+    # dir and plant/evict .arrow files — the cache key is computable
+    # from path+file stats, so a planted entry would silently
+    # substitute seen-set contents.  uid suffix + mode 0700 + an
+    # ownership/mode check (covers a pre-created dir of the same
+    # name); any failure disables the cache for this access rather
+    # than trusting foreign files.
+    if _IPC_DIR:
+        # explicit opt-in dir: the operator trusts it as configured
+        d = _IPC_DIR
+        try:
+            _os.makedirs(d, exist_ok=True)
+        except OSError:
+            return None
+    else:
+        d = _os.path.join(
+            tempfile.gettempdir(), f"seenjoin_ipc_{_os.getuid()}"
+        )
+        try:
+            _os.makedirs(d, mode=0o700, exist_ok=True)
+            st = _os.stat(d)
+            if st.st_uid != _os.getuid() or (st.st_mode & 0o077):
+                return None
+        except OSError:
+            return None
     key = hashlib.md5(
         repr((_os.path.abspath(path), bucket, columns, fp)).encode()
     ).hexdigest()

@@ -84,8 +84,13 @@ def winnow_fingerprints(
                     fps.append(sel)
                 yield pd.DataFrame({id_col: ids, "fingerprints": fps})
 
+        # the id field keeps the CALLER's type (ADVICE r5): a
+        # hardcoded `long` broke/miscast string or int doc ids while
+        # the hof impl preserved them — the two impls are documented
+        # identical, so the arrow schema must be derived too
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.select(id_col, text_col).mapInPandas(
-            gen, schema=f"{id_col} long, fingerprints array<string>"
+            gen, schema=f"{id_col} {id_type}, fingerprints array<string>"
         )
     if impl != "hof":
         raise ValueError(f"unknown winnow impl {impl!r}")

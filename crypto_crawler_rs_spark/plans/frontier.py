@@ -926,8 +926,17 @@ class FrontierScheduler:
             rnd,
         )
         seen_partition = self._seen_partition_by
+        # frontier_size is POPPED by recrawl_stale (it must force the
+        # run loop to re-probe emptiness) — when absent, assume BIG
+        # (ADVICE r5): a TTL recrawl can re-enqueue millions of stale
+        # urls, and writing that delta flat hands every one of the
+        # n_buckets bucket-pruned tasks the whole multi-million-row
+        # root, the exact pathology seen_delta_flat_max_rows exists
+        # to avoid.  A small recrawl written bucketed costs one tiny
+        # shuffle — cheap in the wrong direction.
         if seen_partition and (
-            manifest.get("frontier_size", 0) <= cfg.seen_delta_flat_max_rows
+            manifest.get("frontier_size", cfg.seen_delta_flat_max_rows + 1)
+            <= cfg.seen_delta_flat_max_rows
         ):
             # LSM layout: small delta -> flat file, compaction buckets
             seen_partition = None
@@ -976,7 +985,13 @@ class FrontierScheduler:
         # the driver ORs at most n_shards fixed-size arrays — collect
         # volume independent of row count (the 10^10-scale path).
         if (
-            manifest.get("frontier_size", 0) >= cfg.distributed_bloom_threshold
+            # absent frontier_size (popped by recrawl_stale) => assume
+            # BIG, same reasoning as the delta-layout decision above:
+            # the distributed path is bit-identical, while collecting
+            # raw hashes of a multi-million-row recrawl delta is a
+            # driver OOM
+            manifest.get("frontier_size", cfg.distributed_bloom_threshold)
+            >= cfg.distributed_bloom_threshold
             and not cfg.bloom_counting  # bitmap OR-merge is bits-only
         ):
             from ..functions.bloom import build_shard_bitmaps, merge_shard_bitmaps
