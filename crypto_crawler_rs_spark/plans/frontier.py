@@ -127,6 +127,20 @@ class FrontierConfig:
     # results
     profile_rounds: bool = False
     # exact seen-membership strategy for discovery:
+    #   'auto'           (default) pick per ROUND by the manifest's
+    #                    cumulative seen row count: 'shuffle' below
+    #                    seen_auto_crossover_rows, 'bucket_pruned' at
+    #                    or above it — the measured crossover is ~1M
+    #                    rows (BENCH/BASELINE.md §2.5, flat ~0.7s
+    #                    probe vs a shuffle that grows with the seen
+    #                    set).  Deltas are ALWAYS written in the
+    #                    bucketed layout under auto so the switch
+    #                    never re-writes history (the bucket reader
+    #                    also handles legacy flat roots).  This is
+    #                    the bloom_probe_mode='auto' discipline for
+    #                    the OTHER 10^10 knob: a default-config crawl
+    #                    now engages the no-shuffle path the moment
+    #                    its seen set earns it (VERDICT r5 next-1).
     #   'shuffle'        left_anti join — shuffles the WHOLE seen set
     #                    on url every round (fine until the seen set
     #                    dwarfs the cluster's shuffle capacity; on
@@ -137,7 +151,15 @@ class FrontierConfig:
     #                    the 10^10 path on plain parquet (size
     #                    n_seen_buckets so one bucket's urls fit a
     #                    task; operators/seenjoin.py)
-    seen_anti_join: str = "shuffle"
+    seen_anti_join: str = "auto"
+    # 'auto' crossover: cumulative seen rows at/above which the
+    # bucket-pruned membership path wins.  Measured locally at ~1M
+    # (BENCH/BASELINE.md §2.5: shuffle 1.2s vs bucket 0.7s at 1M,
+    # diverging to 6.1s vs 0.7s at 50M); the count used is the sum of
+    # delta-file footer rows — an append-only UPPER bound on live
+    # membership (tombstones not subtracted until compaction), which
+    # errs toward the flat-cost path, the safe direction.
+    seen_auto_crossover_rows: int = 1_000_000
     # crawler-trap suppression (operators/traps.py): when set, each
     # round counts confirmed-NEW discovered urls per (host,
     # digit-masked path template) into a cumulative template table
@@ -161,6 +183,30 @@ class FrontierConfig:
     default_budget: int = DEFAULT_BUDGET
     default_delay: int = DEFAULT_DELAY
     max_backoff: int = MAX_BACKOFF
+
+
+def parquet_row_count(paths: list[str] | str) -> int:
+    """Total rows across parquet files under ``paths`` from FOOTER
+    metadata only — no Spark job, no data read; the driver-side cost
+    of the seen_anti_join='auto' decision.  On an Iceberg catalog the
+    same number is one manifest-summary lookup
+    (``snapshot.summary['total-records']``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in [paths] if isinstance(paths, str) else paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        elif os.path.isfile(p) and p.endswith(".parquet"):
+            total += pq.ParquetFile(p).metadata.num_rows
+    return total
 
 
 def stale_seen_urls(
@@ -400,15 +446,46 @@ class FrontierScheduler:
             F.hash("host").alias("host_hash"),
             F.lit(rnd).alias("added_round"),
         )
-        if self.cfg.seen_anti_join == "bucket_pruned":
+        if self._seen_layout_bucketed:
             out = out.withColumn(
                 "bucket", F.pmod(F.col("host_hash"), F.lit(self.cfg.n_seen_buckets))
             )
         return out
 
     @property
+    def _seen_layout_bucketed(self) -> bool:
+        """WRITE layout: 'auto' always writes the bucketed layout so
+        the read-path switch at the crossover never has to rewrite
+        history (legacy flat roots from 'shuffle'-era runs stay
+        readable either way — seenjoin's legacy_rows path)."""
+        return self.cfg.seen_anti_join in ("bucket_pruned", "auto")
+
+    @property
     def _seen_partition_by(self) -> str | None:
-        return "bucket" if self.cfg.seen_anti_join == "bucket_pruned" else None
+        return "bucket" if self._seen_layout_bucketed else None
+
+    def _seen_mode(self, manifest: dict) -> str:
+        """READ-path resolution for this round: 'shuffle' or
+        'bucket_pruned'.  Under 'auto' the decision is the manifest's
+        cumulative ``seen_rows`` (maintained per round from delta
+        footer counts; derived once by a footer walk when resuming a
+        pre-auto state dir) against ``seen_auto_crossover_rows``."""
+        mode = self.cfg.seen_anti_join
+        if mode not in ("auto", "shuffle", "bucket_pruned"):
+            raise ValueError(
+                f"seen_anti_join must be auto|shuffle|bucket_pruned, "
+                f"got {mode!r}"
+            )
+        if mode != "auto":
+            return mode
+        n = manifest.get("seen_rows")
+        if n is None:
+            n = parquet_row_count(manifest.get("seen", []))
+        return (
+            "bucket_pruned"
+            if n >= self.cfg.seen_auto_crossover_rows
+            else "shuffle"
+        )
 
     # -- trap suppression ----------------------------------------------
     def _suppress_traps(
@@ -503,6 +580,7 @@ class FrontierScheduler:
             "host_state": hpath,
             "bloom": bpath,
             "seen": [],
+            "seen_rows": 0,
             "tombstones": [],
             "fetched": [],
             "metrics": [],
@@ -1081,7 +1159,7 @@ class FrontierScheduler:
             "maybe_seen", probe(F.col("host_hash"), F.col("url_hash"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         definitely_new = links.filter(~F.col("maybe_seen"))
-        if cfg.seen_anti_join == "bucket_pruned":
+        if self._seen_mode(manifest) == "bucket_pruned":
             # exact membership WITHOUT shuffling the seen set: tasks
             # read only their bucket's seen files (operators/seenjoin)
             from ..operators.seenjoin import filter_unseen_bucket_pruned
@@ -1097,9 +1175,17 @@ class FrontierScheduler:
                 current_round=rnd,
             )
         else:
-            all_seen = seen_delta if seen is None else seen.unionByName(seen_delta)
+            # project BOTH sides to url before the union: under
+            # 'auto' the just-written delta carries the bucketed
+            # layout's extra column while _read_seen projects it away
+            delta_urls = seen_delta.select("url")
+            all_seen = (
+                delta_urls
+                if seen is None
+                else seen.select("url").unionByName(delta_urls)
+            )
             confirmed_new = links.filter(F.col("maybe_seen")).join(
-                all_seen.select("url"), "url", "left_anti"
+                all_seen, "url", "left_anti"
             )
         discovered = definitely_new.select("url", "host", "depth").unionByName(
             confirmed_new.select("url", "host", "depth")
@@ -1208,8 +1294,17 @@ class FrontierScheduler:
         # data-files analog)
         seen_paths = manifest["seen"] + [seen_path]
         tomb_paths = manifest.get("tombstones", [])
+        # cumulative seen row count (drives seen_anti_join='auto'):
+        # footer-metadata reads only — no Spark job.  Append-only
+        # upper bound between compactions; compaction folds tombstones
+        # and the count resets to the compacted snapshot's true size.
+        seen_rows = (
+            manifest.get("seen_rows", parquet_row_count(manifest["seen"]))
+            + parquet_row_count(seen_path)
+        )
         if len(seen_paths) >= cfg.compact_seen_every:
             seen_paths, tomb_paths = self.compact_seen(seen_paths, tomb_paths, rnd + 1)
+            seen_rows = parquet_row_count(seen_paths)
 
         new_manifest = {
             "round": rnd + 1,
@@ -1221,6 +1316,7 @@ class FrontierScheduler:
             "fetched": manifest["fetched"] + [fetched_path],
             "metrics": manifest["metrics"] + [metrics_path],
             "frontier_size": n_frontier,
+            "seen_rows": seen_rows,
             "quarantine": manifest.get("quarantine"),
             "n_seen_buckets": manifest.get(
                 "n_seen_buckets", cfg.n_seen_buckets

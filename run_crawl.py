@@ -50,8 +50,11 @@ def main(argv=None):
         "--bloom-probe", choices=["auto", "broadcast", "sharded"], default="auto",
     )
     ap.add_argument(
-        "--seen-anti-join", choices=["shuffle", "bucket_pruned"], default="shuffle",
-        help="bucket_pruned = no seen-side shuffle (10^10-row seen sets)",
+        "--seen-anti-join", choices=["auto", "shuffle", "bucket_pruned"],
+        default="auto",
+        help="auto (default) switches shuffle->bucket_pruned at the "
+        "measured ~1M-seen-row crossover; bucket_pruned = no seen-side "
+        "shuffle (10^10-row seen sets)",
     )
     ap.add_argument("--warc", action="store_true",
                     help="--pages points at .warc/.warc.gz files instead of parquet")
