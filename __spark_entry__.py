@@ -1062,6 +1062,30 @@ def q_prep_corpus(spark, sf):
     )
 
 
+def q_prep_corpus_fuzzy(spark, sf):
+    """prep_corpus with the OPT-IN fuzzy near-dup stage live (VERDICT
+    r5 next-2): lang gate -> quality gate -> whole-doc exact dedup ->
+    MinHash-LSH pairs -> connected-components keeper filter -> chunk
+    dedup.  md5 hash family so the oracle replays the identical band
+    signatures; the recursive-CTE closure and keeper filter replay
+    components; every stage already individually graded
+    (prep_corpus, dedup_minhash_lsh, dedup_components)."""
+    from crypto_crawler_rs_spark.operators.prep import prep_corpus
+
+    docs = _t(spark, sf, "documents")
+    return prep_corpus(
+        docs,
+        langs=("en",),
+        min_tokens=20,
+        min_distinct_ratio=0.4,
+        min_stopword_ratio=0.0,
+        fuzzy_threshold=0.05,
+        fuzzy_n_hashes=32,
+        fuzzy_n_bands=16,
+        fuzzy_hash_family="md5",
+    )
+
+
 def q_recrawl_due(spark, sf):
     """Freshness-TTL recrawl (G10, plans/frontier.py
     stale_seen_urls + merge_recrawl_frontier — the exact engine
@@ -1203,7 +1227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        # r6 rotation (VERDICT r5 next-2): the composed fuzzy prep
+        # pipeline takes dedup_embedding_neardup's head slot (that row
+        # is the labeled oracle-only exactness twin of ann_cosine_lsh,
+        # parked below with the other operator-twins)
+        "prep_corpus_fuzzy": q_prep_corpus_fuzzy,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -1259,6 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash fingerprints are exercised INSIDE dedup_simhash_pairs
         # (its oracle replays the identical fingerprint CTE):
         "dedup_simhash": q_dedup_simhash,
+        # r6 park: the deliberately-quadratic broadcast-NLJ exactness
+        # twin of ann_cosine_lsh (same cosine fold, same rounding) —
+        # its head slot went to prep_corpus_fuzzy:
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
     }
 
 
@@ -1408,6 +1440,19 @@ def oracle_sql() -> dict[str, str]:
             r"len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')), "
             f"{markers}))"
         )
+
+    # minhash replay fragments for prep_corpus_fuzzy (32 hashes / 16
+    # bands of 2 rows — the same md5 family _sql_minhash_lsh replays,
+    # here over the exact-dedup survivors instead of raw documents)
+    mh_hcols = ",\n                        ".join(
+        f"min(md5('mh{i}#' || s)) AS h{i}" for i in range(32)
+    )
+    mh_band_rows = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"h{b * 2 + r}" for r in range(2))
+        + ") AS sig FROM sig"
+        for b in range(16)
+    )
 
     return {
         "a2_pricing_summary": """
@@ -1702,6 +1747,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(u.n_tokens AS BIGINT) AS n_tokens,
                    r.n_chunks, r.n_kept
             FROM reasm r JOIN uniq u USING (doc_id)
+            WHERE r.n_kept > 0""",
+        # prep_corpus with the fuzzy stage live: identical gate /
+        # exact-dedup / chunk-dedup replay, plus the LSH band replay
+        # (over the exact-dedup survivors), the recursive-CTE
+        # component closure, and the min-id keeper filter between them
+        "prep_corpus_fuzzy": f"""
+            WITH RECURSIVE h AS (SELECT doc_id, text,
+                   {hits(de)} AS h_de, {hits(en)} AS h_en, {hits(es)} AS h_es,
+                   {hits(fr)} AS h_fr, {hits(pt)} AS h_pt
+                   FROM documents),
+            m AS (SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_pt) AS mx
+                  FROM h),
+            langed AS (SELECT doc_id, text,
+                   CASE WHEN mx < 1 THEN 'und'
+                        WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en'
+                        WHEN h_es = mx THEN 'es' WHEN h_fr = mx THEN 'fr'
+                        ELSE 'pt' END AS lang
+                   FROM m),
+            q AS (SELECT doc_id, text, lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                     / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1)
+                     AS dr
+                  FROM langed),
+            gated AS (SELECT doc_id, text, lang, n_tokens FROM q
+                      WHERE lang = 'en' AND n_tokens BETWEEN 20 AND 100000
+                        AND dr >= 0.4),
+            keepx AS (SELECT md5(text) AS k, MIN(doc_id) AS keeper
+                      FROM gated GROUP BY 1),
+            uniq AS (SELECT g.* FROM gated g JOIN keepx
+                     ON md5(g.text) = keepx.k WHERE g.doc_id = keepx.keeper),
+            uw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM uniq),
+            ush AS (SELECT doc_id,
+                          list_distinct([array_to_string(ws[i:i+2], ' ')
+                                         for i in range(1, len(ws) - 1)])
+                            AS shingles
+                    FROM uw WHERE len(ws) >= 3),
+            ue AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                   FROM ush),
+            sig AS (SELECT doc_id, {mh_hcols}
+                    FROM ue GROUP BY doc_id),
+            banded AS ({mh_band_rows}),
+            cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM banded x JOIN banded y
+                       ON x.band = y.band AND x.sig = y.sig
+                      AND x.doc_id < y.doc_id),
+            pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.n AS n_a, b.n AS n_b, COUNT(*) AS shared
+                   FROM ue a JOIN ue b ON a.s = b.s AND a.doc_id < b.doc_id
+                   JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+                   GROUP BY 1, 2, 3, 4
+                   HAVING shared / (n_a + n_b - shared) >= 0.05),
+            und AS (SELECT id_a AS a, id_b AS b FROM pj
+                    UNION SELECT id_b, id_a FROM pj),
+            reach(node, lbl) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node),
+            comp AS (SELECT node, MIN(lbl) AS keeper FROM reach
+                     GROUP BY node),
+            fkept AS (SELECT * FROM uniq WHERE doc_id NOT IN
+                      (SELECT node FROM comp WHERE node <> keeper)),
+            w AS (SELECT doc_id, lang, n_tokens, string_split(text, ' ') AS words
+                  FROM fkept),
+            c AS (SELECT w.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+                         array_to_string(
+                           list_slice(w.words, t.i*10+1, t.i*10+10), ' ')
+                           AS chunk
+                  FROM w, LATERAL unnest(
+                    range(CAST(ceil(len(w.words)/10.0) AS BIGINT))) AS t(i)),
+            f AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                  FROM c),
+            reasm AS (SELECT doc_id,
+                   COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE rn = 1), '') AS text_prepped,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+                  FROM f GROUP BY doc_id)
+            SELECT r.doc_id, r.text_prepped, u.lang,
+                   CAST(u.n_tokens AS BIGINT) AS n_tokens,
+                   r.n_chunks, r.n_kept
+            FROM reasm r JOIN fkept u USING (doc_id)
             WHERE r.n_kept > 0""",
         "recrawl_due": """
             WITH u AS (SELECT

@@ -717,10 +717,34 @@ def run_prod_family(spark, sf_dir: str) -> dict:
         fp = simhash_fingerprints(docs, hash_family="xxhash64", n_bits=64)
         return simhash_pairs(fp, max_hamming=3, n_bits=64).count()
 
+    # r6 (VERDICT r5 next-3): prod-key twins for the two r5 webtext
+    # ops that graded with md5-string join keys — same query shape as
+    # the graded rows, 8-byte xxhash64 join keys (result equality
+    # pinned by test_decontaminate_prod_key_family /
+    # test_winnow_prod_key_family)
+    from crypto_crawler_rs_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from crypto_crawler_rs_spark.operators.winnow import winnow_passage_pairs
+
+    def decon():
+        bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+        corp = docs.filter(F.col("doc_id") % 97 != 0)
+        return contamination_report(
+            corp, bench_docs, k=3, min_overlap=1, key_family="xxhash64"
+        ).count()
+
+    def winnow():
+        return winnow_passage_pairs(
+            docs, k=4, w=4, min_shared=2, df_cap=100, key_family="xxhash64"
+        ).count()
+
     out = {
         "dedup_minhash_lsh_prod": _best_of(minhash),
         "ann_cosine_lsh_prod": _best_of(ann),
         "dedup_simhash_pairs_prod": _best_of(simhash),
+        "decontaminate_prod": _best_of(decon),
+        "winnow_passages_prod": _best_of(winnow),
         "ivf_codebook_train": round(t_train, 2),
         "ann_cosine_ivf_learned": _best_of(ivf),
     }

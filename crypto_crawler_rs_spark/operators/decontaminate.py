@@ -26,9 +26,11 @@ equi-join on the shingle key (AQE picks; ``broadcast_bench=False``
 forces it).
 
 Oracle parity: the join key is the raw shingle STRING so DuckDB can
-replay it exactly; production would swap in ``xxhash64(shingle)``
-(8-byte shuffle keys) exactly as ``operators/dedup.py`` does via its
-``hash_family`` knob — key width changes, plan shape doesn't.
+replay it exactly; ``key_family='xxhash64'`` swaps in
+``xxhash64(shingle)`` (8-byte shuffle/broadcast keys) exactly as
+``operators/dedup.py`` does via its ``hash_family`` knob — key width
+changes, plan shape doesn't, and the report is identical modulo
+64-bit collisions (pinned by ``test_decontaminate_prod_key_family``).
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ def contamination_report(
     k: int = 3,
     min_overlap: int = 1,
     broadcast_bench: bool = True,
+    key_family: str = "string",
 ) -> DataFrame:
     """Per-corpus-document overlap with the benchmark's shingle set.
 
@@ -55,15 +58,25 @@ def contamination_report(
     shingles also present in ``benchmark``; ``contamination`` is the
     fraction of the document's distinct shingles that are contaminated
     (1.0 = the whole document is benchmark text).
+
+    ``key_family``: ``'string'`` joins on the raw shingle (DuckDB
+    replayable), ``'xxhash64'`` on its 8-byte hash — the production
+    key that shrinks both the broadcast table and any shuffle
+    fallback by ~an order of magnitude for typical shingle lengths.
     """
+    if key_family not in ("string", "xxhash64"):
+        raise ValueError(f"key_family must be string|xxhash64, got {key_family!r}")
     # (_id, _n, _s): exploded DISTINCT shingles + per-doc counts —
     # the same primitive every shingle dedup operator shares
     corpus_sh = shingle_rows(corpus, id_col=id_col, text_col=text_col, k=k)
-    bench_sh = (
-        shingle_rows(benchmark, id_col=id_col, text_col=text_col, k=k)
-        .select("_s")
-        .distinct()
-    )
+    bench_sh = shingle_rows(benchmark, id_col=id_col, text_col=text_col, k=k)
+    if key_family == "xxhash64":
+        # hash BEFORE the bench distinct: one shuffle on the 8-byte
+        # key (collision-merging two bench shingles can't change
+        # membership), map-side projection on the corpus side
+        corpus_sh = corpus_sh.withColumn("_s", F.xxhash64("_s"))
+        bench_sh = bench_sh.select(F.xxhash64("_s").alias("_s"))
+    bench_sh = bench_sh.select("_s").distinct()
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
     hits = (
@@ -90,6 +103,7 @@ def decontaminate(
     k: int = 3,
     max_contamination: float = 0.0,
     min_overlap: int = 1,
+    key_family: str = "string",
 ) -> DataFrame:
     """The corpus minus contaminated documents: drop every document
     whose contamination fraction exceeds ``max_contamination`` (the
@@ -104,5 +118,6 @@ def decontaminate(
         text_col=text_col,
         k=k,
         min_overlap=min_overlap,
+        key_family=key_family,
     ).where(F.col("contamination") > max_contamination)
     return corpus.join(bad.select(id_col), id_col, "left_anti")

@@ -14,7 +14,9 @@ CCNet/C4-style order:
        down as the expressions allow)
     3. document-level exact dedup (md5 keeper = min doc_id — the
        mirror/re-crawl case)
-    4. chunk-level dedup (CCNet first-occurrence boilerplate removal)
+    4. OPT-IN fuzzy near-dup removal (MinHash-LSH pairs → connected
+       components → keeper filter — the RefinedWeb/CCNet fuzzy pass)
+    5. chunk-level dedup (CCNet first-occurrence boilerplate removal)
 
 Stage order is the cost argument: the JVM filter drops junk BEFORE
 anything shuffles; exact dedup runs BEFORE chunking so whole-document
@@ -22,8 +24,11 @@ duplicates are dropped at one-hash-per-doc cost instead of being
 exploded into chunks that all die anyway (and chunk_dedup's global
 first-occurrence guarantee makes a post-chunk exact pass provably
 dead: every surviving chunk is corpus-unique, so no two prepped texts
-can collide).  Every stage is an existing audited operator — this
-file adds composition, not new physics.
+can collide).  The fuzzy stage sits AFTER exact dedup (so LSH never
+sees the degenerate identical-doc buckets — the bucket_cap guard in
+minhash_lsh_pairs never fires) and BEFORE chunking (a dropped
+near-dup never pays the chunk explode).  Every stage is an existing
+audited operator — this file adds composition, not new physics.
 """
 
 from __future__ import annotations
@@ -45,13 +50,34 @@ def prep_corpus(
     min_distinct_ratio: float = 0.2,
     min_stopword_ratio: float = 0.0,
     chunk_words: int = 10,
+    fuzzy_threshold: float | None = None,
+    fuzzy_k: int = 3,
+    fuzzy_n_hashes: int = 32,
+    fuzzy_n_bands: int = 16,
+    fuzzy_hash_family: str = "xxhash64",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Returns one row per SURVIVING document:
     ``(doc_id, text_prepped, lang, n_tokens, n_chunks, n_kept)``
     where the document survived (a) the quality gate, (b) exact
-    dedup of the raw text (keeper = min doc_id), and (c) chunk dedup
+    dedup of the raw text (keeper = min doc_id), (b') when
+    ``fuzzy_threshold`` is set, MinHash-LSH near-dup clustering
+    (keeper = the connected component's min doc_id; every non-keeper
+    member of a near-dup cluster is dropped), and (c) chunk dedup
     leaving at least one chunk; ``text_prepped`` is the chunk-deduped
     text.
+
+    The fuzzy stage composes three individually-graded operators —
+    :func:`~.dedup.minhash_lsh_pairs` (banded candidates +
+    exact-Jaccard confirm at ``fuzzy_threshold``),
+    :func:`~.components.dedup_keep_list` (min-label connected
+    components), and a left-anti keeper filter — so its semantics are
+    exactly "drop every doc whose component has a smaller member".
+    ``fuzzy_hash_family='md5'`` makes the banding DuckDB-replayable
+    (oracle parity); production keeps the xxhash64 default (8-byte
+    shuffle keys).  ``cleanup``: pass a list to receive the persisted
+    shingle index for caller-side unpersist (same contract as
+    minhash_lsh_pairs).
     """
     stats = docs.select(
         F.col(id_col),
@@ -79,6 +105,29 @@ def prep_corpus(
         .where(F.col(id_col) == F.col("_keeper"))
         .select(id_col, text_col, "lang", "n_tokens")
     )
+    if fuzzy_threshold is not None:
+        from .components import dedup_keep_list
+        from .dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            unique_docs,
+            id_col=id_col,
+            text_col=text_col,
+            k=fuzzy_k,
+            n_hashes=fuzzy_n_hashes,
+            n_bands=fuzzy_n_bands,
+            threshold=fuzzy_threshold,
+            hash_family=fuzzy_hash_family,
+            cleanup=cleanup,
+        )
+        # non-keepers only: docs untouched by any pair never appear in
+        # the keep list and survive by the anti join's absence
+        drop = (
+            dedup_keep_list(pairs, src="id_a", dst="id_b")
+            .where(~F.col("is_keeper"))
+            .select(F.col("node").alias(id_col))
+        )
+        unique_docs = unique_docs.join(drop, id_col, "left_anti")
     deduped = chunk_dedup(
         unique_docs, id_col=id_col, text_col=text_col, chunk_words=chunk_words
     ).where(F.col("n_kept") > 0)

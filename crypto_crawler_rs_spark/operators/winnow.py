@@ -22,8 +22,12 @@ dedup family's inverted-index discipline: explode selected
 fingerprints, df-cap the stop-fingerprints (the fanout guard, same as
 ``ngram_jaccard_pairs``), equi-join on the fingerprint — banded, never
 all-pairs.  Hashes are md5 hex strings so the DuckDB oracle replays
-them exactly; production would swap xxhash64 8-byte keys via the same
-``hash_family`` pattern as operators/dedup.py.
+them exactly; ``winnow_passage_pairs(key_family='xxhash64')`` swaps
+the exploded JOIN key to xxhash64 of the fingerprint (8-byte
+shuffle/groupBy keys instead of 32-char hex) — selection stays md5
+so the fingerprint SET is unchanged and the pair results are
+identical modulo 64-bit collisions (pinned by
+``test_winnow_prod_key_family``).
 """
 
 from __future__ import annotations
@@ -145,17 +149,26 @@ def winnow_passage_pairs(
     min_shared: int = 2,
     df_cap: int = 100,
     impl: str = "arrow",
+    key_family: str = "string",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` selected fingerprints
     — candidates for passage-level duplication.  ``df_cap`` drops
     fingerprints present in more than that many documents (corpus
     boilerplate connects everything; its join fanout is df² — the same
     skew guard as ``ngram_jaccard_pairs``).  Returns
-    ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``."""
+    ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``.
+
+    ``key_family='xxhash64'`` re-keys the exploded inverted index on
+    xxhash64 of the md5 fingerprint — same selection, same pairs,
+    8-byte join/groupBy keys for the production path."""
+    if key_family not in ("string", "xxhash64"):
+        raise ValueError(f"key_family must be string|xxhash64, got {key_family!r}")
     fp = (
         winnow_fingerprints(df, id_col, text_col, k, w, impl=impl)
         .select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("_fp"))
     )
+    if key_family == "xxhash64":
+        fp = fp.withColumn("_fp", F.xxhash64("_fp"))
     keep = (
         fp.groupBy("_fp")
         .agg(F.count("*").alias("_df"))

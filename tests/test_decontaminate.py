@@ -98,3 +98,29 @@ def test_full_contamination_is_exactly_one(spark):
         ).collect()
     }
     assert rep == {2: 1.0}
+
+
+def test_decontaminate_prod_key_family(spark, docs):
+    """key_family='xxhash64' (the 8-byte production join key) must
+    return the IDENTICAL report — the hash only re-keys the equi-join;
+    membership is unchanged modulo 64-bit collisions, which this real
+    corpus must not exhibit."""
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+
+    def rows(fam):
+        return sorted(
+            (r["doc_id"], r["overlap_shingles"], r["n_shingles"],
+             r["contamination"])
+            for r in contamination_report(
+                corpus, bench, key_family=fam
+            ).collect()
+        )
+
+    a, b = rows("string"), rows("xxhash64")
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_key_family_validates(spark, docs):
+    with pytest.raises(ValueError, match="key_family"):
+        contamination_report(docs, docs, key_family="sha1").collect()

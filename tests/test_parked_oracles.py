@@ -64,6 +64,8 @@ def test_tail_is_only_redundant_rows():
         "token_count",          # projection of quality_score's n_tokens
         "o3_chunking",          # WindowExec row_number twin of o2_topk
         "f3_status_filter",     # predicate-filter twin of f1_hot_filter
+        # r6 park (prep_corpus_fuzzy promoted into the graded head):
+        "dedup_embedding_neardup",  # quadratic exactness twin of ann_cosine_lsh
     }
     assert set(_parked()) <= allowed
 
@@ -82,6 +84,7 @@ def test_tail_is_only_redundant_rows():
     "token_count",
     "o3_chunking",
     "f3_status_filter",
+    "dedup_embedding_neardup",
 ])
 def test_parked_query_matches_oracle(spark, name):
     qs = entrymod.queries()

@@ -126,3 +126,66 @@ def test_prep_corpus_exact_dedup_keeps_min_id(spark):
         docs, min_tokens=5, min_distinct_ratio=0.0
     ).toPandas()
     assert sorted(out.doc_id) == [1, 2]
+
+
+# -- fuzzy near-dup stage (VERDICT r5 next-2) -------------------------------
+
+_BASE = "the is and of to in that for " + " ".join(f"w{i}" for i in range(20))
+
+
+def _fuzzy(docs, **kw):
+    return prep_corpus(
+        docs,
+        min_tokens=5,
+        min_distinct_ratio=0.0,
+        fuzzy_threshold=0.5,
+        fuzzy_hash_family="md5",
+        **kw,
+    ).toPandas()
+
+
+def test_fuzzy_drops_near_dup_keeps_min_id(spark):
+    # doc 7 is doc 2 with ONE word changed (not exact-dup; high
+    # Jaccard); doc 9 is unrelated.  Fuzzy keeps the component min.
+    docs = spark.createDataFrame(
+        [
+            (2, _BASE),
+            (7, _BASE.replace("w10", "zz")),
+            (9, "the is and of to " + " ".join(f"u{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = _fuzzy(docs)
+    assert sorted(out.doc_id) == [2, 9]
+    # without the fuzzy stage both near-dups survive (not exact dups)
+    plain = prep_corpus(docs, min_tokens=5, min_distinct_ratio=0.0).toPandas()
+    assert sorted(plain.doc_id) == [2, 7, 9]
+
+
+def test_fuzzy_chain_collapses_to_component_min(spark):
+    # 1~5 and 5~8 but 1!~8 directly: transitive closure must still
+    # collapse all three to keeper 1 — pins that the stage is
+    # components over pairs, not pairwise greedy
+    v1 = _BASE
+    v5 = _BASE.replace("w3", "x3").replace("w4", "x4")
+    v8 = v5.replace("w15", "y15").replace("w16", "y16")
+    docs = spark.createDataFrame(
+        [(5, v5), (8, v8), (1, v1)], "doc_id long, text string"
+    )
+    out = _fuzzy(docs)
+    assert sorted(out.doc_id) == [1]
+
+
+def test_fuzzy_runs_after_exact_dedup(spark):
+    # exact dups collapse FIRST (keeper 3); the fuzzy stage then sees
+    # only keepers, so the near-dup comparison is 3-vs-6 and 3 wins
+    docs = spark.createDataFrame(
+        [
+            (4, _BASE),
+            (3, _BASE),
+            (6, _BASE.replace("w10", "zz")),
+        ],
+        "doc_id long, text string",
+    )
+    out = _fuzzy(docs)
+    assert sorted(out.doc_id) == [3]

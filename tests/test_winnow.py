@@ -102,3 +102,28 @@ def test_short_docs(spark):
     assert got[1] == []  # < k tokens: no grams
     assert len(got[2]) == 1  # one gram, below w: its single min
     assert got[3] == []
+
+
+def test_winnow_prod_key_family(spark):
+    """key_family='xxhash64' re-keys the inverted-index join on the
+    8-byte hash of the md5 fingerprint — selection unchanged, so the
+    pair table must be IDENTICAL (modulo 64-bit collisions, absent on
+    this real corpus)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def rows(fam):
+        return sorted(
+            (r["id_a"], r["id_b"], r["shared_fps"])
+            for r in winnow_passage_pairs(
+                docs, k=4, w=4, min_shared=2, df_cap=100, key_family=fam
+            ).collect()
+        )
+
+    a, b = rows("string"), rows("xxhash64")
+    assert a == b and len(a) > 0
+
+
+def test_winnow_key_family_validates(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="key_family"):
+        winnow_passage_pairs(df, key_family="sha1").collect()
