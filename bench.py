@@ -89,6 +89,7 @@ def run_frontier(
     profile: bool = False,
     seed_seen: int = 0,
     rounds_override: int = 0,
+    seen_mode: str | None = None,
 ) -> dict:
     """Throughput = URL decisions (scheduled + dedup-checked
     discovered links) per second over a multi-round crawl.
@@ -160,6 +161,12 @@ def run_frontier(
             seen_anti_join="bucket_pruned",
             bloom_expected_urls=knobs["n_pages"] * 4,
         )
+    if seen_mode:
+        # explicit override wins over both the default ('auto' since
+        # r6) and the scale config's forced bucket_pruned — used by
+        # the seeded A/B to keep a forced-shuffle leg as the
+        # counterfactual the auto default no longer exhibits
+        cfg_kw["seen_anti_join"] = seen_mode
     if profile:
         cfg_kw["profile_rounds"] = True
     eng = FrontierScheduler(
@@ -210,6 +217,9 @@ def run_frontier(
         )
         manifest = dict(manifest)
         manifest["seen"] = manifest["seen"] + [spath]
+        # keep the seen_anti_join='auto' decision input current — the
+        # seeded root's count is known exactly, no footer walk needed
+        manifest["seen_rows"] = manifest.get("seen_rows", 0) + seed_seen
         eng.store.commit(manifest)
     t0 = time.perf_counter()
     manifest = eng.run(max_rounds=rounds)
@@ -229,7 +239,11 @@ def run_frontier(
         "links_deduped": links,
         "fetched_ok": int(agg["ok"] or 0),
         "urls_per_sec": round((scheduled + links) / wall, 1),
-        "config": "scale" if scale_config else "default",
+        "config": (
+            f"seen={seen_mode}"
+            if seen_mode
+            else ("scale" if scale_config else "default")
+        ),
     }
     if profile:
         hist = [
@@ -564,16 +578,28 @@ def run_components(
         ((F.col("id") + 1) * 1000 % n_nodes).alias("dst"),
     )
     edges = cluster.union(bridges)
-    t0 = time.perf_counter()
-    comp = connected_components(edges)
-    n_out = comp.count()
-    n_comp = comp.select("component").distinct().count()
-    wall = time.perf_counter() - t0
+    # best-of-2 like every other operator row (_best_of): run 1
+    # absorbs janino/JIT compile (~8-10s on this fixture — r5's single
+    # cold shot under-read the operator by ~40%), run 2 is the
+    # steady-state a long-running session lives in
+    walls, stats = [], {}
+    n_out = n_comp = 0
+    for _ in range(2):
+        st: dict = {}
+        t0 = time.perf_counter()
+        comp = connected_components(edges, stats_out=st)
+        n_out = comp.count()
+        n_comp = comp.select("component").distinct().count()
+        walls.append(time.perf_counter() - t0)
+        stats = st
+    wall = min(walls)
     return {
         "n_edges": n_edges,
         "n_nodes_labeled": n_out,
         "n_components": n_comp,
         "wall_sec": round(wall, 2),
+        "wall_sec_cold": round(walls[0], 2),
+        "iterations": stats.get("iterations"),
         "edges_per_sec": round(n_edges / wall, 1),
     }
 
@@ -807,6 +833,12 @@ def main():
         help="frontier runs with bucket_pruned seen path + sized bloom (auto thresholds)",
     )
     ap.add_argument(
+        "--seen-mode", choices=["auto", "shuffle", "bucket_pruned"],
+        default=None,
+        help="force the frontier's seen_anti_join (overrides both the "
+        "auto default and --scale-config's bucket_pruned)",
+    )
+    ap.add_argument(
         "--frontier-repeats", type=int, default=3,
         help="default-mode frontier repetitions (mean±spread bounds noise)",
     )
@@ -897,7 +929,7 @@ def main():
         res = run_frontier(
             spark, big=args.big, scale_config=args.scale_config,
             profile=args.profile, seed_seen=args.seed_seen,
-            rounds_override=args.rounds,
+            rounds_override=args.rounds, seen_mode=args.seen_mode,
         )
         if args.seed_seen:
             res["seed_seen"] = args.seed_seen
@@ -952,10 +984,19 @@ def main():
         # and another 0.84x with identical binaries.  Interleaving
         # puts both configs through the same noise window; best-of
         # per config is the same protocol as tools/ab_frontier.py.
+        # three legs since r6 (seen_anti_join defaults to 'auto'):
+        # "shuffle" = the forced pre-r6 default (the counterfactual a
+        # default crawl no longer pays), "default" = auto (must engage
+        # the bucket path at 50M rows on its own), "scale" = forced
+        # bucket_pruned + sized bloom (the best manual config auto
+        # must match)
         seeded_args = ["--frontier-only", "--big", "--seed-seen", seeded,
                        "--rounds", seeded_rounds, "--cpus", "32"]
-        seeded_runs = {"default": [], "scale": []}
+        seeded_runs = {"shuffle": [], "default": [], "scale": []}
         for _rep in range(2):
+            seeded_runs["shuffle"].append(
+                sub(seeded_args + ["--seen-mode", "shuffle"])
+            )
             seeded_runs["default"].append(sub(seeded_args))
             seeded_runs["scale"].append(sub(seeded_args + ["--scale-config"]))
         pipeline_seeded = {
@@ -1171,7 +1212,13 @@ def _merge_scaling(summary: dict) -> dict:
             summary["pipeline_scale_detail"] = better(
                 summary["pipeline_scale_detail"], prev["pipeline_scale_detail"]
             )
-        for cfg_name, det in (prev.get("pipeline_seeded_detail") or {}).items():
+        prev_seeded = prev.get("pipeline_seeded_detail") or {}
+        if "shuffle" not in prev_seeded:
+            # pre-r6 sweep: its "default" leg ran seen_anti_join=
+            # 'shuffle' (the old default), not today's 'auto' — merging
+            # those points would mix semantics across the rename
+            prev_seeded = {}
+        for cfg_name, det in prev_seeded.items():
             if cfg_name in summary.get("pipeline_seeded_detail", {}):
                 summary["pipeline_seeded_detail"][cfg_name] = better(
                     summary["pipeline_seeded_detail"][cfg_name], det
@@ -1219,7 +1266,7 @@ def _ab_section() -> str:
         f"| {i+1} | {q['head']} | {q['ref']} | {q['ratio']} |"
         for i, q in enumerate(ab["pairs"])
     )
-    return f"""### 2.8 Frontier headline A/B vs commit {ab['ref_commit']} (interleaved)
+    return f"""### 2.10 Frontier headline A/B vs commit {ab['ref_commit']} (interleaved)
 
 The composite frontier number moves with machine state (sequential
 rounds compared 14.5k -> 13.7k -> 9.0k mean with 47.9% spread).
@@ -1317,20 +1364,27 @@ machine-minutes, amortized across the rounds between refreshes.
 `operators/components.connected_components` turns the dedup family's
 pair output into keeper clusters (`python bench.py --components-only`):
 
-| edges | labeled nodes | components | wall (s) | edges/sec |
-|---|---|---|---|---|
-| {cc['n_edges']:,} | {cc['n_nodes_labeled']:,} | {cc['n_components']:,} | {cc['wall_sec']} | {cc['edges_per_sec']:,.0f} |{big_rows}
+| edges | labeled nodes | components | wall (s) | cold (s) | iters | edges/sec |
+|---|---|---|---|---|---|---|
+| {cc['n_edges']:,} | {cc['n_nodes_labeled']:,} | {cc['n_components']:,} | {cc['wall_sec']} | {cc.get('wall_sec_cold', '-')} | {cc.get('iterations', '-')} | {cc['edges_per_sec']:,.0f} |{big_rows}
 
 Min-label propagation with DELTA filtering (after round 1 only
 CHANGED labels join the co-partitioned edge list — clique-dense LSH
 clusters converge in 2-3 rounds and the residual is the chain tail)
-+ pointer jumping (O(log diameter) rounds) + ONE Spark job per
-iteration (the convergence count rides the checkpoint job as an
-Observation; checkpoint blocks released two generations behind).
-The small fixture is stage-LATENCY-bound — ~9 iterations of fixed
-per-stage scheduling cost dominate, the same Amdahl term as the
-pipeline's per-round serial floor{ratio}.  On a cluster with
-minutes-long stages the per-edge rate is the scaling number.
++ MULTI-jump pointer jumping (r6: three applications of the iteration
+mapping per materialized round — the bench fixture's 500-rep bridge
+cycle converges in 6 iterations instead of 9; each extra jump is an
+intra-job N-row join, far cheaper than the ~1-2s job floor a whole
+iteration costs) + ONE Spark job per iteration (the convergence count
+rides the checkpoint job as an Observation; checkpoint blocks
+released two generations behind).  Wall is best-of-2 like every other
+operator row (_best_of): the cold column shows the first run, which
+is dominated by janino/JIT compile on this small fixture — r5 graded
+the operator on a single cold shot and under-read it ~40%.  The small
+fixture remains stage-LATENCY-bound — iterations of fixed per-stage
+scheduling cost dominate, the same Amdahl term as the pipeline's
+per-round serial floor{ratio}.  On a cluster with minutes-long stages
+the per-edge rate is the scaling number.
 """)
     return ("\n".join(out) + "\n") if out else ""
 
@@ -1340,32 +1394,46 @@ def _seeded_section(summary: dict) -> str:
     if not sd:
         return ""
     d, s = sd["default"], sd["scale"]
+    sh = sd.get("shuffle")
     ratio = summary.get(
         "pipeline_seeded_scale_over_default",
         round(s["urls_per_sec"] / d["urls_per_sec"], 3),
     )
     seedn = d.get("seed_seen", 50_000_000)
     rounds = d.get("timed_rounds", 6)
+    shuffle_row = (
+        f"\n| forced shuffle (the pre-r6 default, counterfactual) | "
+        f"{sh['urls_per_sec']} | {sh['wall_sec']} | {sh['scheduled']} | "
+        f"{sh['links_deduped']} |"
+        if sh
+        else ""
+    )
+    auto_vs_shuffle = (
+        f"  **auto / forced-shuffle = "
+        f"{round(d['urls_per_sec'] / sh['urls_per_sec'], 3)}x** — the win a "
+        "default-config crawl now gets without touching a knob."
+        if sh
+        else ""
+    )
     return f"""### 2.2 Steady-state long-crawl shape: {seedn:,}-row pre-seeded seen set
 
 The §2 table starts from an EMPTY seen set, so by round 6 the corpus
-has only ~0.6M seen rows — below the bucket path's crossover, which
-made the declared-scale config read slower end-to-end (VERDICT r4
-perf #2).  This run is the same 1M-page corpus with the seen set
-pre-populated to {seedn:,} rows before {rounds} timed rounds — the
-shape every round has after the first days of a real crawl
-(`python bench.py --frontier-only --big --seed-seen {seedn}
---rounds {rounds} [--scale-config]`):
+has only ~0.6M seen rows — below the bucket path's crossover.  This
+run is the same 1M-page corpus with the seen set pre-populated to
+{seedn:,} rows before {rounds} timed rounds — the shape every round
+has after the first days of a real crawl (`python bench.py
+--frontier-only --big --seed-seen {seedn} --rounds {rounds}
+[--scale-config | --seen-mode shuffle]`):
 
 | config | URLs scheduled+deduped/sec | wall (s) | scheduled | links deduped |
-|---|---|---|---|---|
-| default (left_anti shuffle) | {d['urls_per_sec']} | {d['wall_sec']} | {d['scheduled']} | {d['links_deduped']} |
-| scale (bucket_pruned seen + sized bloom, auto thresholds) | {s['urls_per_sec']} | {s['wall_sec']} | {s['scheduled']} | {s['links_deduped']} |
+|---|---|---|---|---|{shuffle_row}
+| default (seen_anti_join='auto', r6) | {d['urls_per_sec']} | {d['wall_sec']} | {d['scheduled']} | {d['links_deduped']} |
+| scale (forced bucket_pruned seen + sized bloom) | {s['urls_per_sec']} | {s['wall_sec']} | {s['scheduled']} | {s['links_deduped']} |
 
-**scale / default = {ratio}x** ({rounds} timed rounds; 1.02x at 6 —
-the gap widens with crawl length because the scale path's one-time
-IPC conversion of the seeded root amortizes while the default path
-re-shuffles the whole seen set every round).  Mechanics of the r5
+**scale / default = {ratio}x** — since r6 the default IS the bucket
+path here (auto crosses over at ~1M seen rows), so ~1.0x means the
+zero-knob default matches the best manual config at the 50M
+end.{auto_vs_shuffle}  Mechanics of the r5
 rework: probe-INVERTED membership (hash table over the task's links,
 seen bucket streams through Arrow ``is_in`` — never a per-worker
 multi-million-entry build), identity bucket->partition carriers (no
@@ -1374,8 +1442,9 @@ cache (steady-state rounds mmap instead of re-decoding parquet), and
 LSM-style flat small deltas (two fewer write stages/round; compaction
 buckets them).  At the 10^10 design point the seen set is another
 200x larger while the per-round link batch stays fixed, so the gap
-only widens — the default path's per-round cost grows with seen rows,
-the bucket path's stays O(links + touched bucket bytes via mmap).
+only widens — the forced-shuffle counterfactual's per-round cost
+grows with seen rows, the bucket path's stays O(links + touched
+bucket bytes via mmap).
 
 """
 
@@ -1494,7 +1563,9 @@ path's crossover, so the two configs trade places within run noise
 §2.5 isolates the operator and shows the win grow with seen size
 (1M+ rows), which compounds every round at the 10^10 target.
 
-{_seeded_section(summary)}{_profile_section(summary)}Pipeline efficiency 8 -> 32: {summary['pipeline_eff_8_to_32']}.  Each
+{_seeded_section(summary)}{_profile_section(summary)}### 2.4 Pipeline efficiency (the Amdahl floor)
+
+Pipeline efficiency 8 -> 32: {summary['pipeline_eff_8_to_32']}.  Each
 round carries a fixed serial term (driver planning for ~8 jobs,
 manifest commit, bloom persist ~ a few seconds) that Amdahl-caps
 small-corpus rounds; at the target 10^10-URL scale a round schedules

@@ -51,13 +51,27 @@ def connected_components(
     max_iter: int = 30,
     num_partitions: int | None = None,
     delta_broadcast_rows: int = 500_000,
+    jumps_per_iter: int = 3,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns ``(node, component)`` — ``component`` is the minimum
     node id of the connected component (a canonical, deterministic
     cluster id).  Nodes are whatever orderable type the pair columns
     carry (doc ids, urls).  Isolated nodes don't appear in ``pairs``
     and therefore not in the output; callers union them back as
-    their own keepers if needed."""
+    their own keepers if needed.
+
+    ``jumps_per_iter`` (r6, VERDICT r5 next-5): pointer-jump depth per
+    materialized iteration.  Each jump is one more N-row join applying
+    the SAME iteration mapping m (composing m^(j+1)); since labels
+    only descend, any composition converges to the identical fixpoint
+    — the knob trades cheap intra-job joins for whole iterations,
+    whose ~1-2s job floor dominates small/medium graphs.  Remaining
+    chain depth shrinks ~(j+1)x per round instead of 2x, so the 2M-
+    edge bench fixture (500-rep bridge cycle) drops from ~10 rounds to
+    ~5.  Labels and (for it>0) the iteration's combined table are
+    persisted so the extra plan references hit cache instead of
+    re-running the edge join."""
     spark = pairs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -149,26 +163,34 @@ def connected_components(
                 "component"
             ),
         )
+        iter_persist = None
         if it == 0:
             # round 0's delta is the FULL edge set — materialize it so
-            # the self-join below doesn't run the E-row pass twice.
-            # Later rounds' combined is a cheap delta plan; the double
-            # execution inside one job beats a second checkpoint job.
+            # the jump joins below don't run the E-row pass repeatedly.
             combined = chain.step(combined)
-        # pointer jump: component <- labels[component] (labels[x] <= x,
-        # so this only descends; halves remaining chain depth)
-        jumped_plan = combined.join(
-            combined.select(
-                F.col("node").alias("component"),
-                F.col("component").alias("_grand"),
-            ),
-            "component",
-            "left",
-        ).select(
-            "node",
-            "_old",
-            F.coalesce("_grand", "component").alias("component"),
+        else:
+            # later rounds' combined is a cheap delta plan, but the
+            # multi-jump below references it jumps_per_iter + 1 times —
+            # persist (lazy, no extra job: the first executing stage
+            # caches partitions, later stages of the SAME job read the
+            # cache) instead of re-running the delta join per reference
+            iter_persist = combined.persist(StorageLevel.MEMORY_AND_DISK)
+            combined = iter_persist
+        # pointer jumps: component <- m(component) applied
+        # jumps_per_iter times with this iteration's mapping m
+        # (labels[x] <= x, so every application only descends; j
+        # applications compose m^(j+1) relative to the entry labels)
+        mapping = combined.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_grand"),
         )
+        jumped_plan = combined
+        for _ in range(max(1, jumps_per_iter)):
+            jumped_plan = jumped_plan.join(mapping, "component", "left").select(
+                "node",
+                "_old",
+                F.coalesce("_grand", "component").alias("component"),
+            )
         obs = Observation()
         jumped = chain.step(
             jumped_plan.observe(
@@ -179,10 +201,15 @@ def connected_components(
             )
         )
         n_changed = int(obs.get["n"] or 0)
+        if iter_persist is not None:
+            iter_persist.unpersist()
         changed = jumped.where(F.col("component") != F.col("_old")).select(
             "node", "component"
         )
         labels = jumped.select("node", "component")
+        if stats_out is not None:
+            stats_out.setdefault("changed_per_iter", []).append(n_changed)
+            stats_out["iterations"] = it + 1
         if not n_changed:
             break
     edges.unpersist()

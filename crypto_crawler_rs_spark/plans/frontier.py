@@ -426,24 +426,29 @@ class FrontierScheduler:
 
     # -- candidate decoration -----------------------------------------
     def _with_policy(self, df: DataFrame) -> DataFrame:
+        # ONE select, not six withColumns: every withColumn/unionByName
+        # re-runs Catalyst analysis over the whole tree so far, and the
+        # per-round profile showed plan CONSTRUCTION (not execution) as
+        # the largest serial-floor term (VERDICT r5 next-4) — collapse
+        # the chain so the joined tree is analyzed twice (columns +
+        # select) instead of seven times
         cfg = self.cfg
-        return (
-            df.join(F.broadcast(self.policy), "host", "left")
-            .withColumn("host_rank", F.coalesce("host_rank", F.lit(cfg.unknown_rank)))
-            .withColumn(
-                "budget_per_round",
-                F.coalesce("budget_per_round", F.lit(cfg.default_budget)),
-            )
-            .withColumn(
-                "robots_disallow",
-                F.coalesce("robots_disallow", F.array().cast("array<string>")),
-            )
-            .withColumn(
-                "crawl_delay_rounds",
-                F.coalesce("crawl_delay_rounds", F.lit(cfg.default_delay)),
-            )
-            .withColumn("is_hot", F.coalesce("is_hot", F.lit(False)))
-            .withColumn("priority", (F.col("depth") + F.col("host_rank")).cast("long"))
+        joined = df.join(F.broadcast(self.policy), "host", "left")
+        defaults = {
+            "host_rank": F.lit(cfg.unknown_rank),
+            "budget_per_round": F.lit(cfg.default_budget),
+            "robots_disallow": F.array().cast("array<string>"),
+            "crawl_delay_rounds": F.lit(cfg.default_delay),
+            "is_hot": F.lit(False),
+        }
+        cols = [
+            F.coalesce(c, defaults[c]).alias(c) if c in defaults else F.col(c)
+            for c in joined.columns
+            if c != "priority"  # replaced below, like withColumn did
+        ]
+        host_rank = F.coalesce("host_rank", F.lit(cfg.unknown_rank))
+        return joined.select(
+            *cols, (F.col("depth") + host_rank).cast("long").alias("priority")
         )
 
     @staticmethod
@@ -458,17 +463,19 @@ class FrontierScheduler:
         )
 
     def _seen_delta(self, df: DataFrame, rnd: int) -> DataFrame:
-        out = df.select(
-            "url",
+        cols = [
+            F.col("url"),
             F.xxhash64("url").alias("url_hash"),
             F.hash("host").alias("host_hash"),
             F.lit(rnd).alias("added_round"),
-        )
+        ]
         if self._seen_layout_bucketed:
-            out = out.withColumn(
-                "bucket", F.pmod(F.col("host_hash"), F.lit(self.cfg.n_seen_buckets))
+            cols.append(
+                F.pmod(F.hash("host"), F.lit(self.cfg.n_seen_buckets)).alias(
+                    "bucket"
+                )
             )
-        return out
+        return df.select(*cols)
 
     @property
     def _seen_layout_bucketed(self) -> bool:
@@ -923,21 +930,25 @@ class FrontierScheduler:
                 cleanup=round_cleanup,
             )
 
-        # fetch join + byte-identical extract (S2/J7/C11)
+        # fetch join + byte-identical extract (S2/J7/C11).  Two selects
+        # instead of three withColumns (each withColumn re-analyzes the
+        # whole tree); text stays its own projection layer so the
+        # pandas UDF is referenced once — inlining it into sha2 would
+        # evaluate the extraction twice per row
         fetched = (
             ranked.join(
                 self.pages.select("url", "html"), "url", "left"
             )
-            .withColumn(
-                "status", F.when(F.col("html").isNull(), "missing").otherwise("ok")
-            )
-            .withColumn(
-                "text",
+            .select(
+                "*",
+                F.when(F.col("html").isNull(), "missing")
+                .otherwise("ok")
+                .alias("status"),
                 F.when(
                     F.col("html").isNotNull(), extract_text_udf(F.col("html"))
-                ),
+                ).alias("text"),
             )
-            .withColumn("text_sha256", F.sha2(F.col("text"), 256))
+            .select("*", F.sha2(F.col("text"), 256).alias("text_sha256"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
@@ -981,7 +992,10 @@ class FrontierScheduler:
             )
         log = log.select(*FETCHED_COLS)
 
-        # host-state fold (A3): success resets backoff, all-fail doubles
+        # host-state fold (A3): success resets backoff, all-fail
+        # doubles.  Column expressions composed in Python and emitted
+        # as ONE select — the former four-withColumn chain re-analyzed
+        # the full-outer-join tree four times per round (serial floor)
         stats = fetched.groupBy("host").agg(
             F.max(F.col("status") == "ok").alias("any_ok")
         )
@@ -989,36 +1003,31 @@ class FrontierScheduler:
             F.broadcast(self.policy.select("host", "crawl_delay_rounds")),
             "host",
             "left",
-        ).withColumn(
-            "crawl_delay_rounds",
-            F.coalesce("crawl_delay_rounds", F.lit(cfg.default_delay)),
+        ).select(
+            "host",
+            "any_ok",
+            F.coalesce("crawl_delay_rounds", F.lit(cfg.default_delay)).alias(
+                "crawl_delay_rounds"
+            ),
         )
-        new_state = (
-            host_state.join(stats, "host", "full_outer")
-            .withColumn("_old_backoff", F.coalesce("backoff", F.lit(1)))
-            .withColumn(
-                "backoff",
-                F.when(F.col("any_ok").isNull(), F.col("_old_backoff"))
-                .when(F.col("any_ok"), F.lit(1))
-                .otherwise(F.least(F.col("_old_backoff") * 2, F.lit(cfg.max_backoff))),
-            )
-            .withColumn(
-                "next_eligible",
-                F.when(
-                    F.col("any_ok").isNull(), F.coalesce("next_eligible", F.lit(0))
-                )
-                .when(F.col("any_ok"), F.lit(rnd) + F.col("crawl_delay_rounds"))
-                .otherwise(
-                    F.lit(rnd)
-                    + F.col("backoff")
-                    + (
-                        F.pmod(F.xxhash64(F.col("host"), F.lit(rnd)), F.lit(cfg.jitter_mod))
-                        if cfg.jitter_mod > 0
-                        else F.lit(0)
-                    ).cast("int")
-                ),
-            )
-            .select("host", "next_eligible", "backoff")
+        old_backoff = F.coalesce("backoff", F.lit(1))
+        new_backoff = (
+            F.when(F.col("any_ok").isNull(), old_backoff)
+            .when(F.col("any_ok"), F.lit(1))
+            .otherwise(F.least(old_backoff * 2, F.lit(cfg.max_backoff)))
+        )
+        jitter = (
+            F.pmod(F.xxhash64(F.col("host"), F.lit(rnd)), F.lit(cfg.jitter_mod))
+            if cfg.jitter_mod > 0
+            else F.lit(0)
+        ).cast("int")
+        new_state = host_state.join(stats, "host", "full_outer").select(
+            "host",
+            F.when(F.col("any_ok").isNull(), F.coalesce("next_eligible", F.lit(0)))
+            .when(F.col("any_ok"), F.lit(rnd) + F.col("crawl_delay_rounds"))
+            .otherwise(F.lit(rnd) + new_backoff + jitter)
+            .alias("next_eligible"),
+            new_backoff.alias("backoff"),
         )
         # seen append: scheduled (ok+missing) + robots-denied (J1/U2)
         seen_delta = self._seen_delta(
@@ -1148,13 +1157,16 @@ class FrontierScheduler:
                 (F.col("depth") + 1).cast("int").alias("depth"),
                 F.explode(outlinks_udf(F.col("html"))).alias("raw_url"),
             )
-            .withColumn("url", canonicalize_udf(F.col("raw_url")))
+            .select("depth", canonicalize_udf(F.col("raw_url")).alias("url"))
             .filter(F.col("url").isNotNull())
-            .withColumn("host", host_col(F.col("url")))
+            .select("depth", "url", host_col(F.col("url")).alias("host"))
             .groupBy("url", "host")
             .agg(F.min("depth").alias("depth"))
-            .withColumn("url_hash", F.xxhash64("url"))
-            .withColumn("host_hash", F.hash("host"))
+            .select(
+                "*",
+                F.xxhash64("url").alias("url_hash"),
+                F.hash("host").alias("host_hash"),
+            )
         )
 
         # bloom prefilter: probe==False is DEFINITELY unseen (skips the
