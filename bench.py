@@ -1469,15 +1469,23 @@ action group, plus the manifest commit measured driver-side):
 |---|---|---|
 {rows}
 
-`plan_build` is pure driver work (DataFrame/plan construction +
-state reads + bloom load) — the irreducible serial term that does NOT
-grow with corpus size; the write/update phases are executor-bound and
-scale with data.  Phase sum {total}s vs pipeline wall
-{pp['wall_sec']}s (residual = driver loop glue).  At the 10^10 target
-a round schedules 10^7+ URLs, so the ~{round(ph.get('plan_build', 0) / n, 1)}s/round
-of serial planning amortizes to noise — it is the SAME per round
-regardless of data volume, which is the Amdahl argument §2's 8->32
-efficiency number needs.
+r6 re-attribution (cProfile evidence): what r5 booked as one
+3.2s/round "plan_build" was three different things — `state_reads`
+(snapshot parquet opens), `rank_prepass` (global_rank's range-
+partitioning count job: an executor-bound ACTION that materializes
+everything up to the pop and scales with data), and the two true
+plan-construction slices (`plan_build_sched` + `plan_build`).
+`bloom_load` is ~0 since r6's in-memory bloom reuse.  True driver
+planning is now
+~{round((ph.get('plan_build', 0) + ph.get('plan_build_sched', 0)) / n, 2)}s/round
+(plan_build_sched + plan_build) — the irreducible serial term that
+does NOT grow with corpus size; rank_prepass and the write/update
+phases are executor-bound and scale with data.  Phase sum {total}s vs
+pipeline wall {pp['wall_sec']}s (residual = driver loop glue).  At
+the 10^10 target a round schedules 10^7+ URLs, so the serial planning
+term amortizes to noise — it is the SAME per round regardless of data
+volume, which is the Amdahl argument §2's 8->32 efficiency number
+needs.
 
 """
 

@@ -911,6 +911,7 @@ class FrontierScheduler:
         # rounds take a single-partition window (1 job); big rounds
         # take the scalable two-pass range-partitioned rank.  Both
         # produce the identical total order.
+        _mark("plan_build_sched")
         sched_slim = scheduled.select("url", "host", "depth", "priority")
         if (
             manifest.get("frontier_size", cfg.small_rank_threshold)
@@ -929,6 +930,16 @@ class FrontierScheduler:
                 out_col="rank_in_round",
                 cleanup=round_cleanup,
             )
+        # global_rank's range-partitioning prepass is an ACTION (a
+        # per-partition-count job materializing everything up to the
+        # pop) — cProfile showed it as ~2.6s of the 3.2s the r5
+        # profile booked under "plan_build"; mark it separately so the
+        # serial-floor table attributes executor work (which scales
+        # with data) apart from driver planning (which doesn't).  On
+        # the small-rank branch the window is lazy and this phase is
+        # ~0 — marked unconditionally so every round's timings carry
+        # the same keys.
+        _mark("rank_prepass")
 
         # fetch join + byte-identical extract (S2/J7/C11).  Two selects
         # instead of three withColumns (each withColumn re-analyzes the
