@@ -206,6 +206,17 @@ CHECKS = {
         "a df-capped inverted-index equi-join — banded, never "
         "all-pairs",
     ),
+    # round 6 addition: the composed fuzzy prep pipeline
+    "prep_corpus_fuzzy": (
+        [r"HashAggregate", r"Join", r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window",
+         r"Exchange SinglePartition"],
+        "gate->exact-dedup->LSH->components->keeper->chunk-dedup "
+        "composition: banded equi-joins only (never all-pairs), the "
+        "keeper list enters FLAT from the components localCheckpoint "
+        "(Scan ExistingRDD — iteration lineage cut), left-anti keeper "
+        "filter, no window on the hot chunk key, no row-Python",
+    ),
 }
 
 
