@@ -22,6 +22,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -264,6 +265,11 @@ def run_frontier(
                     sum(c["manifest_commit"] for c in commits), 2
                 )
             out["phase_rounds"] = len(hist)
+    # a seeded big run leaves a ~3 GB state dir; the r6 scaling sweep
+    # (6 seeded legs) filled the disk with leaked mkdtemp dirs and
+    # died on ENOSPC mid-sweep — measured dirs are disposable the
+    # moment the numbers are extracted
+    shutil.rmtree(state, ignore_errors=True)
     return out
 
 
@@ -446,6 +452,7 @@ def run_compaction(
         range(0, n_tombs * 37, 37)
     )  # every tombstoned id < total, so all cancel
     assert new_tombs == [] and remaining == expect, (remaining, expect)
+    shutil.rmtree(state, ignore_errors=True)  # ~GB-scale, disposable
     return {
         "seen_rows": total,
         "deltas": n_deltas,
@@ -497,6 +504,7 @@ def run_bloom_update(spark, n_rows: int = 2_000_000, n_shards: int = 32) -> dict
     merge_shard_bitmaps(bloom_b, rows)
     t_distributed = time.perf_counter() - t0
     assert np.array_equal(bloom_a._arr, bloom_b._arr), "branches diverged"
+    shutil.rmtree(os.path.dirname(d), ignore_errors=True)
     return {
         "delta_rows": n_rows,
         "n_shards": n_shards,
@@ -671,6 +679,9 @@ def run_seenjoin(
             timings[name] = _best_of(run_and_record)
         links.unpersist()
         assert counts["shuffle"] == counts["bucket_pruned"], counts
+        # each point's seen parquet is ~1 GB at 50M rows — leaked
+        # dirs across sweeps were part of the r6 ENOSPC
+        shutil.rmtree(d, ignore_errors=True)
         points.append(
             {
                 "seen_rows": n,
