@@ -1360,6 +1360,7 @@ machine-minutes, amortized across the rounds between refreshes.
         big_rows = (
             f"\n| {big['n_edges']:,} | {big['n_nodes_labeled']:,} | "
             f"{big['n_components']:,} | {big['wall_sec']} | "
+            f"{big.get('wall_sec_cold', '-')} | {big.get('iterations', '-')} | "
             f"{big['edges_per_sec']:,.0f} |"
             if big
             else ""
