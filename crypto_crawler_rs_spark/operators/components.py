@@ -44,6 +44,32 @@ from pyspark.sql import functions as F
 from ..functions.ckpt import LocalCheckpointChain
 
 
+def _union_find_min(pair_rows) -> dict:
+    """Driver-side union-find with min-id roots over a bounded pair
+    list (the local FINISHER's residual graph — see
+    connected_components).  Path compression only; roots are kept as
+    the minimum member id so the result is the same canonical
+    min-label the distributed iteration converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {x: find(x) for x in list(parent)}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
@@ -51,7 +77,9 @@ def connected_components(
     max_iter: int = 30,
     num_partitions: int | None = None,
     delta_broadcast_rows: int = 500_000,
-    jumps_per_iter: int = 3,
+    jumps_per_iter: int = 1,
+    finish_candidate_rows: int = 16_000_000,
+    finish_collect_rows: int = 500_000,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns ``(node, component)`` — ``component`` is the minimum
@@ -62,16 +90,53 @@ def connected_components(
     their own keepers if needed.
 
     ``jumps_per_iter`` (r6, VERDICT r5 next-5): pointer-jump depth per
-    materialized iteration.  Each jump is one more N-row join applying
-    the SAME iteration mapping m (composing m^(j+1)); since labels
-    only descend, any composition converges to the identical fixpoint
-    — the knob trades cheap intra-job joins for whole iterations,
-    whose ~1-2s job floor dominates small/medium graphs.  Remaining
-    chain depth shrinks ~(j+1)x per round instead of 2x, so the 2M-
-    edge bench fixture (500-rep bridge cycle) drops from ~10 rounds to
-    ~5.  Labels and (for it>0) the iteration's combined table are
-    persisted so the extra plan references hit cache instead of
-    re-running the edge join."""
+    materialized iteration, spent as mapping SQUARINGS — the
+    iteration's mapping m is self-composed j times (m -> m^2 -> m^4
+    -> ... -> m^(2^j)) before one application to the labels, so each
+    N-row join DOUBLES the compression depth instead of adding one
+    (classic pointer-doubling, but intra-job: the squarings are plan
+    nodes over the persisted iteration table, not materialized
+    rounds).  Since labels only descend and the mapping never leaves
+    a component, any power of m converges to the identical fixpoint —
+    the knob trades cheap intra-job joins for whole iterations, whose
+    ~1-2s job floor dominates small/medium graphs.  Remaining chain
+    depth shrinks ~2^j x per round.  With the local FINISHER below
+    handling the chain tail, in-round depth matters far less than it
+    used to, so the default is a single cheap squaring (j=1); deeper
+    values only pay off on hub-heavy graphs where the finisher's
+    degree-aware gate stays disengaged for many rounds (each extra
+    squaring doubles the plan's cached-leaf scans, so j is a real
+    cost, not free).
+    Labels and (for it>0) the iteration's combined table are
+    persisted so the squared plan's leaf scans (2^j of them) hit
+    cache instead of re-running the edge join.
+
+    LOCAL FINISHER (r6): once a round's changed set is small —
+    ``n_changed * max_degree <= finish_candidate_rows`` bounds the
+    residual candidate edges — the remaining merges are resolved in
+    ONE job instead of k more iterations: collect (capped at
+    ``finish_collect_rows`` via limit; overflow falls back to the
+    loop) the residual graph and union-find it on the driver, then
+    apply the fix as a single broadcast join.  The residual graph is
+    exactly two bounded sets:
+
+    * cross-component edges still disagreeing — every such edge has
+      its SMALLER endpoint in the latest changed set (if a last
+      changed in an earlier round, its neighbor was offered that
+      label the following round and would have descended), so joining
+      the persisted edges against the changed delta finds them all;
+    * stale label chains from jump truncation — (y, m(y)) pairs where
+      y is itself USED as a label and m(y) != y; every chain link's
+      source is by construction a label value, so union-finding these
+      makes one broadcast remap land every node on its final root.
+
+    Same convergence point as iterating (min id per component; both
+    pair sets stay within one true component), verified against the
+    union-find oracle in tests.  At 10^9-node scale this turns the
+    long tail (tiny deltas paying the full per-iteration job floor)
+    into one bounded-collect job; hub-heavy graphs keep iterating
+    until the degree-aware bound is actually met.  Set
+    ``finish_candidate_rows=0`` to disable."""
     spark = pairs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -176,21 +241,32 @@ def connected_components(
             # cache) instead of re-running the delta join per reference
             iter_persist = combined.persist(StorageLevel.MEMORY_AND_DISK)
             combined = iter_persist
-        # pointer jumps: component <- m(component) applied
-        # jumps_per_iter times with this iteration's mapping m
-        # (labels[x] <= x, so every application only descends; j
-        # applications compose m^(j+1) relative to the entry labels)
+        # pointer DOUBLING: square this iteration's mapping m
+        # jumps_per_iter times (m^2, m^4, ..., m^(2^j)), then apply it
+        # once — every mapping value is itself a node of the same
+        # component (min over self+neighbors), and labels[x] <= x, so
+        # each squaring only descends and any power of m has the same
+        # fixpoint.  Same number of N-row joins as applying m
+        # repeatedly, exponentially more chain compression per
+        # materialized round.
         mapping = combined.select(
             F.col("node").alias("component"),
             F.col("component").alias("_grand"),
         )
-        jumped_plan = combined
-        for _ in range(max(1, jumps_per_iter)):
-            jumped_plan = jumped_plan.join(mapping, "component", "left").select(
-                "node",
-                "_old",
-                F.coalesce("_grand", "component").alias("component"),
+        for _ in range(max(0, jumps_per_iter)):
+            parent = mapping.select(
+                F.col("component").alias("_grand"),
+                F.col("_grand").alias("_grand2"),
             )
+            mapping = mapping.join(parent, "_grand", "left").select(
+                "component",
+                F.coalesce("_grand2", "_grand").alias("_grand"),
+            )
+        jumped_plan = combined.join(mapping, "component", "left").select(
+            "node",
+            "_old",
+            F.coalesce("_grand", "component").alias("component"),
+        )
         obs = Observation()
         jumped = chain.step(
             jumped_plan.observe(
@@ -212,6 +288,65 @@ def connected_components(
             stats_out["iterations"] = it + 1
         if not n_changed:
             break
+        if 0 < n_changed * max_deg <= finish_candidate_rows:
+            # residual candidate edges: every still-disagreeing edge
+            # has its smaller endpoint in THIS round's changed set
+            delta_b = changed.select(
+                F.col("node").alias("b"), F.col("component").alias("comp_b")
+            )
+            if n_changed <= delta_broadcast_rows:
+                delta_b = F.broadcast(delta_b)
+            cross = (
+                edges.join(delta_b, "b")
+                .join(
+                    labels.select(
+                        F.col("node").alias("a"),
+                        F.col("component").alias("comp_a"),
+                    ),
+                    "a",
+                )
+                .where(F.col("comp_a") != F.col("comp_b"))
+                .select(
+                    F.least("comp_a", "comp_b").alias("x"),
+                    F.greatest("comp_a", "comp_b").alias("y"),
+                )
+            )
+            # stale chains from jump truncation: labels whose node is
+            # itself in use as a label but hasn't reached its fixpoint
+            used = labels.select(F.col("component").alias("node")).distinct()
+            stale = (
+                labels.join(used, "node")
+                .where(F.col("component") != F.col("node"))
+                .select(
+                    F.col("component").alias("x"), F.col("node").alias("y")
+                )
+            )
+            residual = cross.union(stale).distinct()
+            # the collect IS the overflow check: cap+1 rows means the
+            # bound was optimistic — fall back to iterating (nothing
+            # was mutated); otherwise this is the documented bounded
+            # driver traffic (<= finish_collect_rows pairs)
+            rows = residual.limit(finish_collect_rows + 1).collect()
+            if len(rows) <= finish_collect_rows:
+                mapping = _union_find_min((r[0], r[1]) for r in rows)
+                if stats_out is not None:
+                    stats_out["finisher_pairs"] = len(rows)
+                    stats_out["finisher_engaged"] = True
+                if mapping:
+                    map_df = F.broadcast(
+                        spark.createDataFrame(
+                            list(mapping.items()),
+                            labels.select(
+                                F.col("component"),
+                                F.col("component").alias("_root"),
+                            ).schema,
+                        )
+                    )
+                    labels = labels.join(map_df, "component", "left").select(
+                        "node",
+                        F.coalesce("_root", "component").alias("component"),
+                    )
+                break
     edges.unpersist()
     # the returned labels derive from the NEWEST checkpoint only —
     # release every older generation's blocks now

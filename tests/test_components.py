@@ -127,3 +127,38 @@ def test_chunk_dedup_order_insensitive_keeper(spark):
         assert out.loc[2, "n_kept"] == 1  # min doc_id keeps
         assert out.loc[9, "n_kept"] == 0
         assert out.loc[9, "text_dedup"] == ""
+
+
+def test_finisher_paths_agree_with_loop(spark):
+    """r6 local finisher: the bounded union-find short-circuit must
+    produce exactly the labeling the pure iterative loop produces —
+    on a deep chain (stale jump-truncation pointers), a hub star
+    (degree-aware gate), and a mixed graph."""
+    import random
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(120)]
+    hub = [(500, 500 + i) for i in range(1, 60)]
+    mixed = chain + hub + [(119, 500)]
+    rng.shuffle(mixed)
+    for pairs in (chain, hub, mixed):
+        st_fin: dict = {}
+        fin = _cc(spark, pairs, stats_out=st_fin)
+        loop = _cc(spark, pairs, finish_candidate_rows=0)
+        assert fin == loop == _union_find(pairs)
+        assert st_fin.get("finisher_engaged"), "finisher should engage on tiny graphs"
+
+
+def test_finisher_overflow_falls_back_to_loop(spark):
+    """A 1-row collect cap forces the overflow branch every round;
+    the loop must still converge to the oracle (nothing mutated by
+    the abandoned attempt)."""
+    pairs = [(i, i + 1) for i in range(50)] + [(100, 101), (101, 102)]
+    st: dict = {}
+    got = _cc(spark, pairs, finish_collect_rows=1, stats_out=st)
+    assert got == _union_find(pairs)
+    # the cap forced several overflow fallback rounds (an unconstrained
+    # finisher resolves this graph at iteration 1); once the residual
+    # fits under the 1-row cap it may engage trivially
+    assert st["iterations"] >= 3
+    assert st.get("finisher_pairs", 0) <= 1
