@@ -1383,11 +1383,15 @@ pair output into keeper clusters (`python bench.py --components-only`):
 Min-label propagation with DELTA filtering (after round 1 only
 CHANGED labels join the co-partitioned edge list — clique-dense LSH
 clusters converge in 2-3 rounds and the residual is the chain tail)
-+ MULTI-jump pointer jumping (r6: three applications of the iteration
-mapping per materialized round — the bench fixture's 500-rep bridge
-cycle converges in 6 iterations instead of 9; each extra jump is an
-intra-job N-row join, far cheaper than the ~1-2s job floor a whole
-iteration costs) + ONE Spark job per iteration (the convergence count
++ pointer DOUBLING (r6: the iteration mapping is squared before each
+application, m -> m^2 -> m^4, so chain depth shrinks exponentially
+per materialized round at the same join count) + a bounded LOCAL
+FINISHER (r6: once n_changed x max_degree bounds the residual edges,
+the still-disagreeing pairs plus stale label chains are collected —
+capped, overflow falls back to iterating — union-found on the driver
+and applied as one broadcast remap; the iters column shows it
+engaging: the fixture converges in 1-2 materialized iterations
+instead of 6-7) + ONE Spark job per iteration (the convergence count
 rides the checkpoint job as an Observation; checkpoint blocks
 released two generations behind).  Wall is best-of-2 like every other
 operator row (_best_of): the cold column shows the first run, which
