@@ -147,11 +147,13 @@ CHECKS = {
     # round 5 additions (promoted graded rows)
     "dedup_components": (
         [r"Scan ExistingRDD"],
-        [r"CartesianProduct", r"BatchEvalPython", r"Exchange"],
-        "the keeper table is a pure PROJECTION of the final "
-        "localCheckpoint (Scan ExistingRDD — iteration lineage truly "
-        "cut; r5's observation-fused convergence means the last "
-        "checkpoint IS the result, no trailing join or exchange)",
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"Exchange (hash|range|single)partitioning", r"SortMergeJoin"],
+        "the keeper table is the final localCheckpoint (Scan "
+        "ExistingRDD — iteration lineage truly cut) remapped by the "
+        "r6 local finisher's bounded BROADCAST fix-up (union-found "
+        "residual pairs, <= finish_collect_rows rows) — a broadcast "
+        "exchange only, never a shuffle of the N-row label table",
     ),
     "lm_surprisal": (
         [r"HashAggregate", r"Join",
