@@ -35,9 +35,15 @@ def _run_components_recording_broadcasts(spark, monkeypatch, pairs, budget):
         return real(df)
 
     monkeypatch.setattr(comp.F, "broadcast", rec)
+    # finisher off: the degree-aware gate being pinned lives on the
+    # ITERATIVE path (the 10^9-scale path when the finisher's bounded
+    # collect overflows); the r6 local finisher would otherwise end
+    # these small fixtures before the late delta iterations the
+    # asserts observe.
     labels = comp.connected_components(
         spark.createDataFrame(pairs, "src long, dst long"),
         delta_broadcast_rows=budget,
+        finish_candidate_rows=0,
     ).collect()
     return {r.node: r.component for r in labels}, calls
 

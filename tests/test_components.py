@@ -162,3 +162,34 @@ def test_finisher_overflow_falls_back_to_loop(spark):
     # fits under the 1-row cap it may engage trivially
     assert st["iterations"] >= 3
     assert st.get("finisher_pairs", 0) <= 1
+
+
+def test_finisher_random_graphs_match_union_find(spark):
+    """Seeded sweep over arbitrary graph shapes (random sparse, dense
+    blob, parallel chains bridged late, self-referential dup edges):
+    the finisher-enabled default must equal the union-find oracle on
+    every one.  Catches residual-set completeness holes the curated
+    chain/hub fixtures can't."""
+    import random
+
+    rng = random.Random(61)
+    cases = []
+    # random sparse graphs at several densities over a sparse id space
+    for n_edges, id_space in ((30, 40), (60, 45), (120, 300)):
+        cases.append(
+            [
+                (rng.randrange(id_space), rng.randrange(id_space))
+                for _ in range(n_edges)
+            ]
+        )
+    # parallel chains merged by one late bridge (worst case for jump
+    # truncation: deep chains whose min labels meet only at the end)
+    chains = [
+        (base + i, base + i + 1) for base in (0, 1000, 2000) for i in range(25)
+    ]
+    cases.append(chains + [(25, 1000), (1025, 2000)])
+    # duplicate + reversed + self-loop edges
+    cases.append([(4, 9), (9, 4), (4, 9), (7, 7), (9, 12), (12, 4)])
+    for pairs in cases:
+        pairs = [p for p in pairs if p[0] != p[1]] or [(1, 2)]
+        assert _cc(spark, pairs) == _union_find(pairs), f"mismatch on {pairs[:8]}..."
