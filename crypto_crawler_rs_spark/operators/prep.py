@@ -109,6 +109,22 @@ def prep_corpus(
         from .components import dedup_keep_list
         from .dedup import minhash_lsh_pairs
 
+        # Cut lineage HERE (r6): unique_docs is consumed by four
+        # downstream plans (LSH signatures + exact-Jaccard confirm,
+        # the keeper anti-join, chunk dedup, the final stat
+        # re-attach), and the LSH band build references its subtree
+        # once per band PER JOIN SIDE — without the cut, the gate's
+        # large codegen'd expression trees (lang-ID + quality
+        # features) are compiled and the gate+dedup stages re-executed
+        # ~30x.  Measured at sf0.1: 271s -> ~30s.  localCheckpoint
+        # (not persist) because the blowup is PLAN-size-driven: every
+        # duplicated leaf must become a flat Scan ExistingRDD, not a
+        # cache lookup under the same giant analyzed tree.  At corpus
+        # scale this materializes the gated+deduped corpus once to
+        # executor-local storage — the same durability class as the
+        # components/pagerank iteration checkpoints, and strictly
+        # cheaper than re-running the gate per consumer.
+        unique_docs = unique_docs.localCheckpoint()
         pairs = minhash_lsh_pairs(
             unique_docs,
             id_col=id_col,
