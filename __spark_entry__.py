@@ -1029,6 +1029,34 @@ def q_dedup_components(spark, sf):
     return dedup_keep_list(edges)
 
 
+def q_components_incremental(spark, sf):
+    """Incremental near-dup clustering (r6,
+    operators/components.incremental_components): fold a NEW batch of
+    pairs into an EXISTING labeling without re-clustering history —
+    prior labels are a contracted spanning forest (each component's
+    membership + min id preserved by its (node, component) edges), so
+    components(prior ∪ new) == components(all pairs ever).  Batch 1 =
+    even doc_ids' affine edges (x -> 7x+3 mod 97), batch 2 = odd
+    doc_ids'; oracle = one recursive-CTE closure over BOTH batches
+    (the equivalence the operator claims)."""
+    from crypto_crawler_rs_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    b1 = d.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    )
+    b2 = d.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    )
+    prior = connected_components(b1)
+    return incremental_components(prior, b2).select("node", "component")
+
+
 def q_lm_surprisal(spark, sf):
     """Corpus-trained add-1 unigram LM surprisal per document (G8,
     operators/lmscore.py) — the CCNet perplexity-bucket stand-in.
@@ -1291,6 +1319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin of ann_cosine_lsh (same cosine fold, same rounding) —
         # its head slot went to prep_corpus_fuzzy:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        # r6 NEW operator, arrived after the graded head filled (not a
+        # twin): incremental components — oracle-compared in-suite by
+        # test_parked_oracles like every parked row:
+        "components_incremental": q_components_incremental,
     }
 
 
@@ -2073,6 +2105,18 @@ def oracle_sql() -> dict[str, str]:
                             THEN o.cost ELSE r.used + o.cost END
                 FROM rec r JOIN ord o ON o.host = r.host AND o.rn = r.rn + 1)
             SELECT host, url, priority, bin_id, bin_pos FROM rec""",
+        "components_incremental": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id % 97 AS src, (doc_id*7+3) % 97 AS dst
+              FROM documents),
+            und AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM e WHERE src <> dst),
+            reach(node, lbl) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node)
+            SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
         "dedup_embedding_neardup": """
             WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS ve
                        FROM embeddings)

@@ -37,7 +37,11 @@ from .graphrank import (
 from .politeness import ewma_policy, host_ewma_delay
 from .prep import prep_corpus
 from .lmscore import train_unigram_logprobs, unigram_surprisal_score
-from .components import connected_components, dedup_keep_list
+from .components import (
+    connected_components,
+    dedup_keep_list,
+    incremental_components,
+)
 from .traps import host_of, mask_pattern, suppress_traps, trap_patterns
 from .decontaminate import contamination_report, decontaminate
 from .sampling import stratified_budgets, stratified_sample
@@ -83,6 +87,7 @@ __all__ = [
     "unigram_surprisal_score",
     "connected_components",
     "dedup_keep_list",
+    "incremental_components",
     "suppress_traps",
     "host_of",
     "mask_pattern",

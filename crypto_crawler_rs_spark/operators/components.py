@@ -371,3 +371,57 @@ def dedup_keep_list(
         F.col("component").alias("keeper"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def incremental_components(
+    prior_labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **kw,
+) -> DataFrame:
+    """Fold a NEW batch of near-dup pairs into an EXISTING
+    ``(node, component)`` labeling without re-clustering history —
+    the recurring-crawl twin of :func:`connected_components`, closing
+    the same loop ``dedup.incremental_dedup`` closes for exact
+    digests (reference analog: the hourly re-discovery cadence,
+    crypto-crawler/src/crawlers/utils.rs:543-555, where every round's
+    output must reconcile against all prior rounds').
+
+    Equivalence: a min-label assignment IS a contracted spanning
+    forest — each prior component is represented by the single edge
+    set {(node, component)}, which preserves exactly its membership
+    and its minimum id.  Unioning those label edges with the new
+    pairs and re-running min-label propagation therefore yields the
+    labeling a full recompute over (all historical pairs ∪ new pairs)
+    would — O(|prior nodes| + |new pairs|) input rows instead of
+    O(|all pairs ever|), and the prior side enters as a 2-column
+    table that never re-reads text or signatures.
+
+    Keeper stability: labels only merge downward, so a node's
+    component can CHANGE only when new pairs bridge two prior
+    components (the new keeper is the min of the merged minima);
+    untouched components keep their exact labels.  Returns the full
+    updated ``(node, component)`` table — nodes seen only in
+    ``prior_labels``, only in ``new_pairs``, or in both.
+
+    ``**kw`` forwards to :func:`connected_components`
+    (``max_iter``, ``finish_candidate_rows``, ...).
+    """
+    prior_edges = prior_labels.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    merged = prior_edges.unionByName(
+        new_pairs.select(F.col(src), F.col(dst))
+    )
+    # self-loop rows (a prior singleton keeper labels itself) carry
+    # membership for nodes with no other edge; connected_components
+    # drops a==b rows, so re-add singletons afterwards via the
+    # labeling's left side
+    out = connected_components(merged, src=src, dst=dst, **kw)
+    singletons = (
+        prior_labels.where(F.col("node") == F.col("component"))
+        .join(out.select("node"), "node", "left_anti")
+        .select("node", "component")
+    )
+    return out.unionByName(singletons)

@@ -193,3 +193,54 @@ def test_finisher_random_graphs_match_union_find(spark):
     for pairs in cases:
         pairs = [p for p in pairs if p[0] != p[1]] or [(1, 2)]
         assert _cc(spark, pairs) == _union_find(pairs), f"mismatch on {pairs[:8]}..."
+
+
+def _inc(spark, prior, new_pairs, **kw):
+    from crypto_crawler_rs_spark.operators.components import (
+        incremental_components,
+    )
+
+    p = spark.createDataFrame(prior, "node long, component long")
+    n = spark.createDataFrame(new_pairs, "src long, dst long")
+    return {
+        r.node: r.component
+        for r in incremental_components(p, n, **kw).collect()
+    }
+
+
+def test_incremental_matches_full_recompute(spark):
+    """components(prior_labels ∪ new_pairs) == components(all pairs):
+    the prior labeling is a contracted spanning forest, so folding a
+    new batch into it must equal re-clustering history."""
+    import random
+
+    rng = random.Random(17)
+    all_pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    all_pairs = [p for p in all_pairs if p[0] != p[1]]
+    b1, b2 = all_pairs[:40], all_pairs[40:]
+    prior = sorted(_cc(spark, b1).items())
+    got = _inc(spark, prior, b2)
+    assert got == _union_find(all_pairs)
+
+
+def test_incremental_singletons_and_merge(spark):
+    # prior: singletons 5 and 9, component {1,2}; new pairs merge 9
+    # with a brand-new node and bridge nothing else
+    prior = [(5, 5), (9, 9), (1, 1), (2, 1)]
+    got = _inc(spark, prior, [(9, 30)])
+    assert got == {5: 5, 9: 9, 30: 9, 1: 1, 2: 1}
+    # a new pair bridging two prior components takes the min of minima
+    got2 = _inc(spark, prior, [(2, 9)])
+    assert got2 == {5: 5, 1: 1, 2: 1, 9: 1}
+
+
+def test_incremental_untouched_components_stable(spark):
+    """Keeper stability: components untouched by the new batch keep
+    their exact labels (no relabeling churn for downstream dedup)."""
+    prior = [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+    got = _inc(spark, prior, [(30, 31)])
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == 20
+    assert got[30] == got[31] == 30
