@@ -867,6 +867,39 @@ def q_dedup_incremental(spark, sf):
     return filter_new_digests(new, [idx], n_buckets=16)
 
 
+def q_lsh_incremental(spark, sf):
+    """Incremental MinHash-LSH against a PERSISTENT band+shingle
+    index (r6, operators/dedup.incremental_lsh_pairs): even doc_ids
+    are the already-indexed corpus (write_band_index: bucketed band
+    sigs + shingle sets), odd ones the incoming batch; emitted pairs
+    are exactly the full-corpus run's pairs touching the batch (band
+    collisions are batch-independent), so the oracle is the full
+    dedup_minhash_lsh band replay filtered to pairs with an odd id.
+    md5 family for oracle parity; production default xxhash64."""
+    import os
+    import tempfile
+
+    from crypto_crawler_rs_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        write_band_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    # per-invocation index dir — same concurrency rationale as
+    # q_dedup_incremental's digest index
+    idx = os.path.join(tempfile.mkdtemp(prefix="band_idx_"), "idx")
+    write_band_index(
+        prior, idx, k=3, n_hashes=32, n_bands=16, hash_family="md5",
+        n_buckets=16,
+    )
+    return incremental_lsh_pairs(
+        new, [idx], k=3, n_hashes=32, n_bands=16, threshold=0.05,
+        hash_family="md5", n_buckets=16,
+    )
+
+
 def q_mm1_media_features(spark, sf):
     """Multimodal-column pipeline as a graded row: documents become
     opaque media blobs (magic prefix + utf-8 bytes), then the REAL
@@ -1319,10 +1352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin of ann_cosine_lsh (same cosine fold, same rounding) —
         # its head slot went to prep_corpus_fuzzy:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        # r6 NEW operator, arrived after the graded head filled (not a
-        # twin): incremental components — oracle-compared in-suite by
-        # test_parked_oracles like every parked row:
+        # r6 NEW operators, arrived after the graded head filled (not
+        # twins): the incremental fuzzy-dedup family — oracle-compared
+        # in-suite by test_parked_oracles like every parked row:
         "components_incremental": q_components_incremental,
+        "lsh_incremental": q_lsh_incremental,
     }
 
 
@@ -2028,6 +2062,11 @@ def oracle_sql() -> dict[str, str]:
                    lower(e.event_type) || '@' || m.raw_channel AS channel
             FROM e JOIN m USING (msg_type)""",
         "dedup_minhash_lsh": _sql_minhash_lsh(n_hashes=32, n_bands=16, threshold=0.05),
+        "lsh_incremental": (
+            "SELECT * FROM ("
+            + _sql_minhash_lsh(n_hashes=32, n_bands=16, threshold=0.05)
+            + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1"
+        ),
         "dedup_simhash": f"""
             WITH {_sql_simhash_fp_cte()}
             SELECT doc_id, simhash FROM fp""",

@@ -2,7 +2,10 @@ from .rank import global_rank
 from .pop import pop_per_host
 from .packing import pack_commands
 from .dedup import (
+    compact_band_index,
     compact_digest_index,
+    incremental_lsh_pairs,
+    write_band_index,
     exact_dedup,
     filter_new_digests,
     shingle_rows,
@@ -54,6 +57,9 @@ __all__ = [
     "compact_digest_index",
     "exact_dedup",
     "filter_new_digests",
+    "compact_band_index",
+    "incremental_lsh_pairs",
+    "write_band_index",
     "shingle_rows",
     "word_shingles",
     "write_digest_index",

@@ -243,6 +243,39 @@ def minhash_signatures(
     return ex.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
+def _band_signatures(
+    ex_base: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    hash_family: str,
+) -> DataFrame:
+    """``(_id, _band, _sig)`` banded MinHash signatures from a shingle
+    table (``shingle_rows`` output) — the shared band construction of
+    :func:`minhash_lsh_pairs` and :func:`write_band_index`, so the
+    incremental path collides on bit-identical signatures."""
+    rows_per_band = n_hashes // n_bands
+    aggs = [
+        F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex_base.groupBy("_id").agg(*aggs)
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_key = F.concat_ws("|", *[c.cast("string") for c in cols])
+        band_sig = (
+            F.xxhash64(band_key) if hash_family == "xxhash64" else F.md5(band_key)
+        )
+        bands.append(
+            sig.select(
+                "_id",
+                F.lit(b).alias("_band"),
+                band_sig.alias("_sig"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), bands)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -278,7 +311,6 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows_per_band = n_hashes // n_bands
     # shingle once, reuse for both the signature build and the exact
     # confirmation join (the shingling scan is the expensive part)
     ex_base = shingle_rows(df, id_col, text_col, k, impl=shingle_impl).persist(
@@ -289,26 +321,7 @@ def minhash_lsh_pairs(
         # caller unpersists the shingle index after materializing, or
         # a long-lived session accumulates cached partitions per call
         cleanup.append(ex_base)
-    aggs = [
-        F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = ex_base.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_key = F.concat_ws("|", *[c.cast("string") for c in cols])
-        band_sig = (
-            F.xxhash64(band_key) if hash_family == "xxhash64" else F.md5(band_key)
-        )
-        bands.append(
-            sig.select(
-                F.col(id_col).alias("_id"),
-                F.lit(b).alias("_band"),
-                band_sig.alias("_sig"),
-            )
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), bands)
+    banded = _band_signatures(ex_base, n_hashes, n_bands, hash_family)
     if bucket_cap is not None:
         keep = (
             banded.groupBy("_band", "_sig")
@@ -600,6 +613,194 @@ def filter_new_digests(
             yield pdf.loc[mask, [id_col, "text_md5"]]
 
     return part.mapInPandas(run, schema=out_schema)
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    hash_family: str = "xxhash64",
+    n_buckets: int = 32,
+    shingle_impl: str = "arrow",
+) -> None:
+    """Persist the FUZZY-dedup state for a document batch — the
+    MinHash analog of :func:`write_digest_index`, and the third leg of
+    the incremental family (digests → :func:`filter_new_digests`,
+    clusters → ``components.incremental_components``, pairs → this +
+    :func:`incremental_lsh_pairs`).
+
+    Two hive-partitioned tables under ``path``:
+
+    * ``bands/``: ``(_id, _band, _sig)`` partitioned by
+      ``bucket = pmod(hash(_sig), n_buckets)`` — the collision join's
+      key layout, so a later batch's probe prunes to matching bucket
+      dirs (dynamic partition pruning against the small new side).
+    * ``shingles/``: ``(_id, _n, _s)`` partitioned by
+      ``bucket = pmod(hash(_id), n_buckets)`` — the exact-Jaccard
+      confirm's retrieval layout, read candidate-pruned.
+
+    Band signatures come from the SAME ``_band_signatures`` build as
+    :func:`minhash_lsh_pairs`, so cross-batch collisions are
+    bit-identical to a full-corpus run."""
+    ex = shingle_rows(docs, id_col, text_col, k, impl=shingle_impl)
+    ex = ex.persist()
+    banded = _band_signatures(ex, n_hashes, n_bands, hash_family)
+    (
+        banded.withColumn("bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path.rstrip("/") + "/bands")
+    )
+    (
+        ex.withColumn("bucket", F.pmod(F.hash("_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path.rstrip("/") + "/shingles")
+    )
+    ex.unpersist()
+
+
+def compact_band_index(
+    spark,
+    index_paths: list[str],
+    out_path: str,
+    n_buckets: int = 32,
+) -> str:
+    """Fold many band-index deltas into ONE — same maintenance cadence
+    as :func:`compact_digest_index` (probe cost grows with the delta
+    COUNT: each incremental batch lists/reads every delta's matching
+    buckets until a compaction folds them).  Batches index disjoint
+    documents (the :func:`filter_new_digests`-first flow guarantees
+    it), so the fold is a pure re-bucketing union — one read + one
+    partitioned write per table, no dedup shuffle."""
+    base = out_path.rstrip("/")
+    for sub in ("bands", "shingles"):
+        dfs = [
+            spark.read.parquet(p.rstrip("/") + "/" + sub) for p in index_paths
+        ]
+        merged = reduce(lambda a, b: a.unionByName(b), dfs)
+        (
+            merged.repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(base + "/" + sub)
+        )
+    return out_path
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    index_paths: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+    n_buckets: int = 32,
+    shingle_impl: str = "arrow",
+    cleanup: list | None = None,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH: confirmed near-dup pairs TOUCHING the
+    new batch — ``(id_a, id_b, jaccard)``, exactly the rows a
+    full-corpus :func:`minhash_lsh_pairs` over (indexed ∪ new) emits
+    with at least one new id — WITHOUT re-banding or re-joining
+    history.  Candidate collisions are batch-independent (a pair
+    collides on a band or it doesn't, whoever indexed first), so
+    feeding these pairs to ``incremental_components`` keeps cluster
+    keepers identical to a from-scratch run; old-old pairs were
+    emitted by earlier batches.
+
+    Scale shape (the reason this exists): per batch, the ever-growing
+    index contributes (a) a bands-side equi-join that prunes to the
+    new batch's ``bucket=`` dirs — the probe is O(new bands +
+    colliding buckets), not O(index) — and (b) a shingles read pruned
+    by a broadcast semi-join on the CANDIDATE ids (bounded by the
+    collision count, not the corpus).  Nothing re-shuffles history.
+    ``new_docs`` must be disjoint from indexed docs — run
+    :func:`filter_new_digests` first, same contract as the digest
+    index.  ``cleanup``: receives the persisted new-batch shingle
+    index (same contract as :func:`minhash_lsh_pairs`)."""
+    from pyspark import StorageLevel
+
+    spark = new_docs.sparkSession
+    ex_new = shingle_rows(new_docs, id_col, text_col, k, impl=shingle_impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if cleanup is not None:
+        cleanup.append(ex_new)
+    banded_new = _band_signatures(ex_new, n_hashes, n_bands, hash_family).withColumn(
+        "bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets))
+    )
+    # the new batch is the small side everywhere below; lineage-cut it
+    # (band build = n_hashes aggregates re-analyzed per consumer) and
+    # let the 2-col table broadcast
+    banded_new = banded_new.localCheckpoint()
+    old_bands = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p.rstrip("/") + "/bands")
+            for p in index_paths
+        ],
+    )
+    cand_new_old = (
+        old_bands.join(
+            F.broadcast(banded_new.select("bucket", "_band", "_sig", F.col("_id").alias("_nid"))),
+            ["bucket", "_band", "_sig"],
+        )
+        .select(
+            F.least("_id", "_nid").alias("id_a"),
+            F.greatest("_id", "_nid").alias("id_b"),
+        )
+    )
+    cand_new_new = (
+        banded_new.alias("x")
+        .join(banded_new.alias("y"), ["_band", "_sig"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    )
+    cand = cand_new_old.unionByName(cand_new_new).distinct().localCheckpoint()
+    # confirm = exact Jaccard over true shingle sets; the index side
+    # is pruned to candidate ids BEFORE the heavy join (broadcast
+    # semi-join: candidate count is collision-bounded)
+    cand_ids = cand.select(F.col("id_a").alias("_id")).unionByName(
+        cand.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    old_sh = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p.rstrip("/") + "/shingles")
+            for p in index_paths
+        ],
+    ).join(F.broadcast(cand_ids), "_id", "left_semi")
+    ex_all = old_sh.select("_id", "_n", "_s").unionByName(
+        ex_new.select("_id", "_n", "_s")
+    )
+    return (
+        cand.join(
+            ex_all.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s"),
+            "id_a",
+        )
+        .join(
+            ex_all.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s"),
+            ["id_b", "_s"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def chunk_dedup(

@@ -66,9 +66,10 @@ def test_tail_is_only_redundant_rows():
         "f3_status_filter",     # predicate-filter twin of f1_hot_filter
         # r6 park (prep_corpus_fuzzy promoted into the graded head):
         "dedup_embedding_neardup",  # quadratic exactness twin of ann_cosine_lsh
-        # r6 NEW operator (not a twin): arrived after the graded head
-        # filled; gets the identical oracle compare below every run
+        # r6 NEW operators (not twins): arrived after the graded head
+        # filled; get the identical oracle compare below every run
         "components_incremental",
+        "lsh_incremental",
     }
     assert set(_parked()) <= allowed
 
@@ -89,6 +90,7 @@ def test_tail_is_only_redundant_rows():
     "f3_status_filter",
     "dedup_embedding_neardup",
     "components_incremental",
+    "lsh_incremental",
 ])
 def test_parked_query_matches_oracle(spark, name):
     qs = entrymod.queries()
