@@ -707,6 +707,7 @@ def incremental_lsh_pairs(
     n_buckets: int = 32,
     shingle_impl: str = "arrow",
     cleanup: list | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """INCREMENTAL MinHash-LSH: confirmed near-dup pairs TOUCHING the
     new batch — ``(id_a, id_b, jaccard)``, exactly the rows a
@@ -719,15 +720,23 @@ def incremental_lsh_pairs(
     emitted by earlier batches.
 
     Scale shape (the reason this exists): per batch, the ever-growing
-    index contributes (a) a bands-side equi-join that prunes to the
-    new batch's ``bucket=`` dirs — the probe is O(new bands +
-    colliding buckets), not O(index) — and (b) a shingles read pruned
-    by a broadcast semi-join on the CANDIDATE ids (bounded by the
-    collision count, not the corpus).  Nothing re-shuffles history.
-    ``new_docs`` must be disjoint from indexed docs — run
-    :func:`filter_new_digests` first, same contract as the digest
-    index.  ``cleanup``: receives the persisted new-batch shingle
-    index (same contract as :func:`minhash_lsh_pairs`)."""
+    index contributes (a) a bands-side equi-join pruned to the new
+    batch's ``bucket=`` dirs by a STATIC partition filter — the
+    batch's distinct bucket values (≤ ``n_buckets`` ints, one bounded
+    collect, the seenjoin discipline: deterministic pruning instead
+    of trusting the DPP heuristic, which declines here because the
+    broadcast side carries no selective predicate) — so the probe is
+    O(new bands + colliding buckets), not O(index); and (b) a
+    shingles read pruned the same way to the CANDIDATE ids' buckets,
+    then row-pruned by a broadcast semi-join on the candidate ids
+    (bounded by the collision count, not the corpus).  Nothing
+    re-shuffles history.  ``new_docs`` must be disjoint from indexed
+    docs — run :func:`filter_new_digests` first, same contract as the
+    digest index.  ``cleanup``: receives the persisted new-batch
+    shingle index (same contract as :func:`minhash_lsh_pairs`).
+    ``stats_out``: receives the probe/confirm scan plans
+    (``bands_plan``/``shingles_plan``) so tests and plan audits can
+    assert the partition filters engaged."""
     from pyspark import StorageLevel
 
     spark = new_docs.sparkSession
@@ -743,13 +752,17 @@ def incremental_lsh_pairs(
     # (band build = n_hashes aggregates re-analyzed per consumer) and
     # let the 2-col table broadcast
     banded_new = banded_new.localCheckpoint()
+    # ≤ n_buckets ints of driver traffic — the static pruning key
+    new_buckets = [
+        r[0] for r in banded_new.select("bucket").distinct().collect()
+    ]
     old_bands = reduce(
         lambda a, b: a.unionByName(b),
         [
             spark.read.parquet(p.rstrip("/") + "/bands")
             for p in index_paths
         ],
-    )
+    ).where(F.col("bucket").isin(new_buckets))
     cand_new_old = (
         old_bands.join(
             F.broadcast(banded_new.select("bucket", "_band", "_sig", F.col("_id").alias("_nid"))),
@@ -760,6 +773,10 @@ def incremental_lsh_pairs(
             F.greatest("_id", "_nid").alias("id_b"),
         )
     )
+    if stats_out is not None:
+        stats_out["bands_plan"] = (
+            cand_new_old._jdf.queryExecution().executedPlan().toString()
+        )
     cand_new_new = (
         banded_new.alias("x")
         .join(banded_new.alias("y"), ["_band", "_sig"])
@@ -768,18 +785,35 @@ def incremental_lsh_pairs(
     )
     cand = cand_new_old.unionByName(cand_new_new).distinct().localCheckpoint()
     # confirm = exact Jaccard over true shingle sets; the index side
-    # is pruned to candidate ids BEFORE the heavy join (broadcast
-    # semi-join: candidate count is collision-bounded)
+    # is file-pruned to the candidate ids' buckets (same bounded
+    # collect) then row-pruned by a broadcast semi-join (candidate
+    # count is collision-bounded)
     cand_ids = cand.select(F.col("id_a").alias("_id")).unionByName(
         cand.select(F.col("id_b").alias("_id"))
-    ).distinct()
-    old_sh = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(p.rstrip("/") + "/shingles")
-            for p in index_paths
-        ],
-    ).join(F.broadcast(cand_ids), "_id", "left_semi")
+    ).distinct().localCheckpoint()
+    cand_buckets = [
+        r[0]
+        for r in cand_ids.select(
+            F.pmod(F.hash("_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    old_sh = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(p.rstrip("/") + "/shingles")
+                for p in index_paths
+            ],
+        )
+        .where(F.col("bucket").isin(cand_buckets))
+        .join(F.broadcast(cand_ids), "_id", "left_semi")
+    )
+    if stats_out is not None:
+        stats_out["shingles_plan"] = (
+            old_sh._jdf.queryExecution().executedPlan().toString()
+        )
     ex_all = old_sh.select("_id", "_n", "_s").unionByName(
         ex_new.select("_id", "_n", "_s")
     )

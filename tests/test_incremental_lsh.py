@@ -168,3 +168,45 @@ def test_incremental_feeds_incremental_components(spark, tmp_path):
         for r in connected_components(pall, src="id_a", dst="id_b").collect()
     }
     assert inc == fullc
+
+
+def test_probe_scans_are_bucket_pruned(spark, tmp_path):
+    """The index scans must carry STATIC bucket partition filters
+    (the seenjoin discipline — deterministic pruning, not the DPP
+    heuristic, which declines because the broadcast side has no
+    selective predicate): bands pruned to the new batch's buckets,
+    shingles to the candidate ids' buckets."""
+    from crypto_crawler_rs_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        write_band_index,
+    )
+
+    rows = _corpus()
+    batch1 = [r for r in rows if r[0] % 2 == 0]
+    batch2 = [r for r in rows if r[0] % 2 == 1]
+    idx = str(tmp_path / "idx")
+    kw = dict(
+        k=PARAMS["k"],
+        n_hashes=PARAMS["n_hashes"],
+        n_bands=PARAMS["n_bands"],
+        n_buckets=PARAMS["n_buckets"],
+    )
+    write_band_index(_docs(spark, batch1), idx, **kw)
+    st: dict = {}
+    out = incremental_lsh_pairs(
+        _docs(spark, batch2),
+        [idx],
+        threshold=PARAMS["threshold"],
+        stats_out=st,
+        **kw,
+    )
+    out.count()
+    for key in ("bands_plan", "shingles_plan"):
+        plan = st[key]
+        assert "PartitionFilters" in plan, key
+        assert "bucket" in plan and " IN " in plan.replace("IN(", " IN ("), key
+        # the pruning filter must be on the partition column, i.e.
+        # appear inside the PartitionFilters clause, not just as a
+        # post-scan Filter
+        pf = plan[plan.index("PartitionFilters") :][:400]
+        assert "bucket" in pf and ("IN" in pf or "isin" in pf), pf

@@ -208,6 +208,29 @@ CHECKS = {
         "a df-capped inverted-index equi-join — banded, never "
         "all-pairs",
     ),
+    # round 6 additions: the incremental fuzzy-dedup family
+    "components_incremental": (
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "prior labels enter as contracted spanning-forest edges; the "
+        "final labeling is the components localCheckpoint (plus the "
+        "finisher's bounded broadcast fix-up) unioned with the "
+        "singleton re-add anti-join — one O(prior nodes) pass, the "
+        "same order as the edge repartition the operator always pays",
+    ),
+    "lsh_incremental": (
+        [r"BroadcastHashJoin", r"PartitionFilters"],
+        [r"CartesianProduct", r"BatchEvalPython", r"SortMergeJoin"],
+        "index probe: STATIC bucket partition filters (the seenjoin "
+        "discipline — the batch's distinct buckets are a bounded "
+        "collect; DPP's heuristic declines without a selective build-"
+        "side predicate) prune the bands scan to the batch's buckets "
+        "and the shingles scan to the candidate ids' buckets, then a "
+        "broadcast semi-join row-prunes before the exact-Jaccard "
+        "confirm; the bands-probe stage itself is checkpointed out of "
+        "this final plan and pinned by "
+        "test_probe_scans_are_bucket_pruned",
+    ),
     # round 6 addition: the composed fuzzy prep pipeline
     "prep_corpus_fuzzy": (
         [r"HashAggregate", r"Join", r"Scan ExistingRDD"],
