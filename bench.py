@@ -366,6 +366,14 @@ def run_queries(spark, sf_dir: str, runs: int = 2) -> dict:
         # must not accumulate executor cache across the 49-query
         # session — also keeps every query's timing cache-cold-equal
         spark.catalog.clearCache()
+    # the incremental-index queries (dedup_incremental,
+    # lsh_incremental) mkdtemp a fresh index per invocation so
+    # concurrent fresh-JVM runs can't clobber each other; sweep the
+    # prefixes once the session's numbers are extracted (same ENOSPC
+    # hygiene as the state/fixture dirs)
+    for pat in ("digest_idx_*", "band_idx_*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            shutil.rmtree(d, ignore_errors=True)
     return out
 
 
