@@ -76,8 +76,9 @@ def prep_corpus(
     ``fuzzy_hash_family='md5'`` makes the banding DuckDB-replayable
     (oracle parity); production keeps the xxhash64 default (8-byte
     shuffle keys).  ``cleanup``: pass a list to receive the persisted
-    shingle index for caller-side unpersist (same contract as
-    minhash_lsh_pairs).
+    intermediates (the non-fuzzy path's unique-docs cache; the fuzzy
+    path's LSH shingle index) for caller-side unpersist (same
+    contract as minhash_lsh_pairs).
     """
     stats = docs.select(
         F.col(id_col),
@@ -105,6 +106,23 @@ def prep_corpus(
         .where(F.col(id_col) == F.col("_keeper"))
         .select(id_col, text_col, "lang", "n_tokens")
     )
+    if fuzzy_threshold is None:
+        # lazy persist (r6): unique_docs feeds chunk_dedup AND the
+        # final stat re-attach — separate stages of the same action,
+        # each re-running the gate's codegen'd expression trees + the
+        # dedup join without it.  persist (not checkpoint) on this
+        # path: the first executing stage fills the cache and lineage
+        # stays intact, so the keeper branch keeps the pruned parquet
+        # scan the plan audit pins.  Registered in ``cleanup`` (same
+        # contract as the LSH shingle index) for long-lived sessions.
+        # The fuzzy branch below localCheckpoints instead (plan-SIZE
+        # blowup there, a cache lookup under the same giant analyzed
+        # tree would not help).
+        from pyspark import StorageLevel
+
+        unique_docs = unique_docs.persist(StorageLevel.MEMORY_AND_DISK)
+        if cleanup is not None:
+            cleanup.append(unique_docs)
     if fuzzy_threshold is not None:
         from .components import dedup_keep_list
         from .dedup import minhash_lsh_pairs
