@@ -259,21 +259,23 @@ def _band_signatures(
         for i in range(n_hashes)
     ]
     sig = ex_base.groupBy("_id").agg(*aggs)
-    bands = []
+    # ONE pass, not a union of n_bands branches (r7, guide §2.4): the
+    # branch-per-band union re-ran the 32-min-agg final aggregation
+    # once per band (the map side deduped via ReusedExchange, the
+    # post-shuffle agg + n_hashes seeded hashes did not) — a
+    # posexplode over the array of band signatures computes the
+    # signature table once and emits identical (_id, _band, _sig)
+    # rows (pos == the old F.lit(b) band id, same int type).
+    band_sigs = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_key = F.concat_ws("|", *[c.cast("string") for c in cols])
-        band_sig = (
+        band_sigs.append(
             F.xxhash64(band_key) if hash_family == "xxhash64" else F.md5(band_key)
         )
-        bands.append(
-            sig.select(
-                "_id",
-                F.lit(b).alias("_band"),
-                band_sig.alias("_sig"),
-            )
-        )
-    return reduce(lambda x, y: x.unionByName(y), bands)
+    return sig.select(
+        "_id", F.posexplode(F.array(*band_sigs)).alias("_band", "_sig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -102,12 +102,24 @@ def cosine_neardup_pairs(
 
     Instead of a crossJoin of array columns (25M interpreted
     zip_with/aggregate folds at sf0.1 — measured 35s), the comparison
-    side rides the closure as a float64 matrix and an Arrow-batched
+    side is broadcast as a float64 matrix and an Arrow-batched
     mapInPandas computes dot products with per-dim left-fold
     accumulation — the IDENTICAL floating-point rounding as SQL
     list_dot_product, so value-hash parity with the DuckDB oracle is
     preserved.  The final round/threshold runs JVM-side (F.round) to
     keep rounding semantics byte-equal to the previous plan.
+
+    r7 (guide §2.5/§4.2): the scan side arrives as ONE parquet split
+    at bench scale (a 6 MB file < maxPartitionBytes), so the O(n²·d)
+    kernel ran on a single python worker; worse, each per-dim update
+    allocated a fresh len(A)×len(B) temp (3.2 GB at 20k vectors) —
+    ~500 GB of memory traffic per batch.  Now: round-robin repartition
+    spreads rows over the cores (scale-adaptive: defaultParallelism,
+    capped so tiny inputs don't fragment), the comparison matrix ships
+    once per executor as a broadcast instead of per-task closure
+    pickle, and the kernel tiles the accumulator to cache-sized
+    blocks with preallocated buffers — same per-dim ascending-order
+    adds (bit-identical sims), measured 334.6s -> ~4s at sf1.0.
     """
     import numpy as np
 
@@ -126,29 +138,66 @@ def cosine_neardup_pairs(
     na = np.sqrt(na)
     # rounding to 6 decimals can lift a sim by < 5e-7, never more
     loose = threshold - 1e-6
+    sc = df.sparkSession.sparkContext
+    bA = sc.broadcast((A_ids, np.ascontiguousarray(A.T), na))
+    n_parts = max(1, min(sc.defaultParallelism, (len(A) + 63) // 64))
 
     def pairs(batches):
         import pandas as pd
 
+        A_ids_l, AT, na_l = bA.value  # AT: (dim, nA) — per-dim rows contiguous
+        nA = AT.shape[1] if dim else 0
+        TA, TB = 512, 256  # f64 accumulator tile = 1 MB (cache-resident)
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not nA:
                 continue
             B_ids = pdf["_id"].to_numpy(dtype=np.int64)
             B = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
-            dots = np.zeros((len(A), len(B)), dtype=np.float64)
-            for d in range(dim):
-                dots += A[:, d : d + 1] * B[:, d][None, :]
             nb = np.zeros(len(B), dtype=np.float64)
             for d in range(dim):
                 nb += B[:, d] * B[:, d]
             nb = np.sqrt(nb)
-            sim = dots / (na[:, None] * nb[None, :])
-            ia, ib = np.nonzero((A_ids[:, None] < B_ids[None, :]) & (sim >= loose))
-            yield pd.DataFrame(
-                {"id_a": A_ids[ia], "id_b": B_ids[ib], "sim": sim[ia, ib]}
-            )
+            BT = np.ascontiguousarray(B.T)
+            out_a, out_b, out_s = [], [], []
+            dots = np.empty((TA, TB), dtype=np.float64)
+            tmp = np.empty((TA, TB), dtype=np.float64)
+            for a0 in range(0, nA, TA):
+                a1 = min(a0 + TA, nA)
+                ta = a1 - a0
+                for b0 in range(0, len(B), TB):
+                    b1 = min(b0 + TB, len(B))
+                    tb = b1 - b0
+                    acc = dots[:ta, :tb]
+                    acc[:] = 0.0
+                    t = tmp[:ta, :tb]
+                    for d in range(dim):
+                        # same ascending-d one-add-per-step fold as the
+                        # SQL aggregate — only the tiling changed
+                        np.multiply(
+                            AT[d, a0:a1, None], BT[d, None, b0:b1], out=t
+                        )
+                        acc += t
+                    sim = acc / (na_l[a0:a1, None] * nb[None, b0:b1])
+                    ia, ib = np.nonzero(
+                        (A_ids_l[a0:a1, None] < B_ids[None, b0:b1])
+                        & (sim >= loose)
+                    )
+                    if len(ia):
+                        out_a.append(A_ids_l[a0 + ia])
+                        out_b.append(B_ids[b0 + ib])
+                        out_s.append(sim[ia, ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
 
-    out = src.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
+    out = src.repartition(n_parts).mapInPandas(
+        pairs, schema="id_a long, id_b long, sim double"
+    )
     return (
         out.withColumn("sim6", F.round("sim", 6))
         .filter(F.col("sim6") >= threshold)
