@@ -781,26 +781,48 @@ def q_dedup_embedding_neardup(spark, sf):
 
 
 def q_ann_cosine_topk(spark, sf):
-    """Brute-force cosine top-5 for query vectors vec_id<20."""
+    """Brute-force cosine top-5 for query vectors vec_id<20.
+
+    r7 (guide §4.1): the dot/norm folds are UNROLLED 64-term codegen
+    sums instead of interpreted HOF aggregates — the 0.0 seed + the
+    ascending element order keep every double bit-identical to the
+    old fold — and each side's norm is computed once per row BEFORE
+    the cross join instead of once per pair (same expression over the
+    same row values).  The corpus side is spread across cores first
+    (single-row-group parquet = one scan task otherwise)."""
+    from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
+
+    DIM = 64
+
+    def unrolled_dot(a, b):
+        out = F.lit(0.0)
+        for i in range(1, DIM + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
+
+    def unrolled_norm(a):
+        out = F.lit(0.0)
+        for i in range(1, DIM + 1):
+            out = out + F.element_at(a, i) * F.element_at(a, i)
+        return F.sqrt(out)
+
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    ).withColumn("nq", unrolled_norm(F.col("qv")))
+    c = spread_small_scan(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+    ).withColumn("nc", unrolled_norm(F.col("cv")))
+    dot = unrolled_dot(F.col("qv"), F.col("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim6", F.round(dot / (nq * nc), 6))
+        .withColumn("sim6", F.round(dot / (F.col("nq") * F.col("nc")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim6").desc(), F.col("neighbor_id").asc()
@@ -835,7 +857,7 @@ def q_ann_cosine_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return cosine_topk_ivf(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_cells=8, nprobe=2,
-        centroids=emb.filter(F.col("vec_id") < 8),
+        centroids=emb.filter(F.col("vec_id") < 8), dim=64,
     )
 
 

@@ -117,6 +117,12 @@ def shingle_rows(
         )
     if impl != "arrow":
         raise ValueError(f"unknown shingle impl {impl!r}")
+    # r7: the bench corpora are single-row-group parquet files, so the
+    # python shingling pass would run as ONE task; spread first
+    # (no-op at real scan widths — see functions/partitioning.py)
+    from ..functions.partitioning import spread_small_scan
+
+    df = spread_small_scan(df.select(id_col, text_col))
 
     def gen(batches):
         import pandas as pd
@@ -375,7 +381,11 @@ def simhash_fingerprints(
     ``n_bits<=60`` so the fingerprint stays positive in a signed
     BIGINT on both engines (xxhash64 uses the native 64 bits).
     """
-    tok = df.select(
+    from ..functions.partitioning import spread_small_scan
+
+    # r7: the token explode + per-token hashing + n_bits partial sums
+    # all run map-side — spread the single-split bench scan first
+    tok = spread_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     )
     if hash_family == "xxhash64":
@@ -877,9 +887,13 @@ def chunk_dedup(
     training-data pipeline needs (boilerplate navigation/footer chunks
     repeat across most pages of a host).
     """
+    from ..functions.partitioning import spread_small_scan
+
     w = chunk_words
     words_col = "_cd_words"
-    out = df.select(id_col, text_col).withColumn(
+    # r7: chunking (sequence/transform/slice HOFs + md5 per chunk) is
+    # map-side CPU — spread the single-split bench scan first
+    out = spread_small_scan(df.select(id_col, text_col)).withColumn(
         words_col, F.split(F.col(text_col), " ")
     )
     words = F.col(words_col)

@@ -97,7 +97,11 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             out["decode_error"] = errs
             yield out
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    # r7: per-blob python decode is map-side CPU — spread a narrow
+    # scan across the cores first (no-op at real scan widths)
+    from ..functions.partitioning import spread_small_scan
+
+    return spread_small_scan(media.select("media_id", "kind", "payload")).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
 

@@ -123,6 +123,19 @@ def prep_corpus(
         unique_docs = unique_docs.persist(StorageLevel.MEMORY_AND_DISK)
         if cleanup is not None:
             cleanup.append(unique_docs)
+        else:
+            # ADVICE r6: with no cleanup list a long-lived session
+            # accumulated one cached DataFrame per call — keep at most
+            # ONE orphaned cache alive by unpersisting the previous
+            # call's on the next call (callers who want deterministic
+            # release pass ``cleanup``)
+            prev = getattr(prep_corpus, "_orphan_cache", None)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            prep_corpus._orphan_cache = unique_docs
     if fuzzy_threshold is not None:
         from .components import dedup_keep_list
         from .dedup import minhash_lsh_pairs

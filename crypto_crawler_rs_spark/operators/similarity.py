@@ -32,7 +32,21 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Left-fold dot product.  With ``dim`` (r7): an UNROLLED
+    whole-stage-codegen sum — ``0.0 + a[1]*b[1] + a[2]*b[2] + ...`` —
+    which is the bit-identical addition sequence of the aggregate
+    fold (the explicit 0.0 seed keeps even the degenerate all--0.0
+    case equal), minus the interpreted-HOF per-element overhead
+    (guide §4.1: built-ins beat interpreted lambdas).  Callers must
+    only pass ``dim`` when every array has exactly that length
+    (element_at past the end would yield NULL, not a partial sum)."""
+    if dim is not None:
+        return reduce(
+            lambda acc, i: acc + F.element_at(a, i + 1) * F.element_at(b, i + 1),
+            range(dim),
+            F.lit(0.0),
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,19 +54,40 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    if dim is not None:
+        sq = reduce(
+            lambda acc, i: acc + F.element_at(a, i + 1) * F.element_at(a, i + 1),
+            range(dim),
+            F.lit(0.0),
+        )
+        return F.sqrt(sq)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
-def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Normalize to unit length once — cosine becomes a plain dot."""
+def with_unit_vectors(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Normalize to unit length once — cosine becomes a plain dot.
+
+    r7: the norm is MATERIALIZED as a column before the per-element
+    divide — an expression referenced inside a ``transform`` lambda is
+    re-evaluated per element in interpreted HOF evaluation, so the
+    inline form paid O(dim²) interpreted ops per row (the same trap
+    documented at functions/textstats._word_ngrams).  The projected
+    attribute is read per element instead.  Values are unchanged:
+    identical ops in identical order."""
     v = _as_double(F.col(vec_col))
-    n = _norm(v)
-    return df.withColumn(
-        "_unit", F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
-    )
+    out = df.withColumn("_vd", v).withColumn("_n", _norm(F.col("_vd"), dim))
+    n = F.col("_n")
+    return out.withColumn(
+        "_unit",
+        F.when(n > 0, F.transform(F.col("_vd"), lambda x: x / n)).otherwise(
+            F.col("_vd")
+        ),
+    ).drop("_vd", "_n")
 
 
 def cosine_topk_bruteforce(
@@ -251,8 +286,13 @@ def lsh_bucket_signatures(
         # past a few thousand codegen fails outright — the Arrow path
         # is bit-identical (tests pin it), so prefer it early
         impl = "pandas" if dim > 128 or dim * n_planes * n_tables > 1024 else "expr"
+    from ..functions.partitioning import spread_small_scan
+
     v = _as_double(F.col(vec_col))
-    out = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    # r7: the projection work (numpy batches or unrolled expressions)
+    # is map-side over what is a single-split parquet scan at bench
+    # scale — spread it first (no-op at real scan widths)
+    out = spread_small_scan(df.select(F.col(id_col).alias("_id"), v.alias("_v")))
     W = _plane_weights(df.sparkSession, dim, n_planes, n_tables, hash_family)
     if impl == "pandas":
         return _lsh_signatures_pandas(out, dim, n_planes, n_tables, W)
@@ -455,6 +495,7 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the classic coarse-quantizer scale
     path next to :func:`cosine_topk_lsh`:
@@ -482,16 +523,25 @@ def cosine_topk_ivf(
     (tests/test_round3_ops.py)."""
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_cells)
-    cents = with_unit_vectors(centroids, vec_col).select(
+    if dim is None:
+        # one tiny job over the (≤ n_cells-row) centroid side — buys
+        # the unrolled codegen'd dot/norm below for every corpus row
+        # (r7; the interpreted HOF fold was the query's dominant cost)
+        first = centroids.select(F.size(vec_col).alias("_d")).first()
+        dim = int(first["_d"]) if first is not None else None
+    cents = with_unit_vectors(centroids, vec_col, dim=dim).select(
         F.col(id_col).alias("cid"), F.col("_unit").alias("_cuv")
     )
+    from ..functions.partitioning import spread_small_scan
 
     def cell_sims(df: DataFrame) -> DataFrame:
-        x = with_unit_vectors(df, vec_col).select(
-            F.col(id_col).alias("_id"), "_unit"
+        x = spread_small_scan(
+            with_unit_vectors(df, vec_col, dim=dim).select(
+                F.col(id_col).alias("_id"), "_unit"
+            )
         )
         return x.join(F.broadcast(cents)).withColumn(
-            "_cs", F.round(_dot(F.col("_unit"), F.col("_cuv")), 6)
+            "_cs", F.round(_dot(F.col("_unit"), F.col("_cuv"), dim=dim), 6)
         )
 
     # corpus -> ONE cell each: max_by(cid, (sim, -cid)) aggregates
@@ -516,16 +566,16 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = with_unit_vectors(queries, vec_col).select(
+    q = with_unit_vectors(queries, vec_col, dim=dim).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv")
     )
-    c = with_unit_vectors(corpus, vec_col).select(
+    c = with_unit_vectors(corpus, vec_col, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv")
     )
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv"), dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -579,16 +629,16 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = with_unit_vectors(queries, vec_col).select(
+    q = with_unit_vectors(queries, vec_col, dim=dim).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv")
     )
-    c = with_unit_vectors(corpus, vec_col).select(
+    c = with_unit_vectors(corpus, vec_col, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv")
     )
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv"), dim=dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

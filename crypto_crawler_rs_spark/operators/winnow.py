@@ -93,7 +93,11 @@ def winnow_fingerprints(
         # the hof impl preserved them — the two impls are documented
         # identical, so the arrow schema must be derived too
         id_type = df.schema[id_col].dataType.simpleString()
-        return df.select(id_col, text_col).mapInPandas(
+        # r7: one md5 per k-gram in python — spread the single-split
+        # bench scan so the pass uses every core (no-op at scan width)
+        from ..functions.partitioning import spread_small_scan
+
+        return spread_small_scan(df.select(id_col, text_col)).mapInPandas(
             gen, schema=f"{id_col} {id_type}, fingerprints array<string>"
         )
     if impl != "hof":
@@ -150,6 +154,7 @@ def winnow_passage_pairs(
     df_cap: int = 100,
     impl: str = "arrow",
     key_family: str = "string",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` selected fingerprints
     — candidates for passage-level duplication.  ``df_cap`` drops
@@ -160,7 +165,16 @@ def winnow_passage_pairs(
 
     ``key_family='xxhash64'`` re-keys the exploded inverted index on
     xxhash64 of the md5 fingerprint — same selection, same pairs,
-    8-byte join/groupBy keys for the production path."""
+    8-byte join/groupBy keys for the production path.
+
+    ``cleanup``: receives the persisted exploded fingerprint index
+    (same contract as ``ngram_jaccard_pairs``) — it feeds THREE
+    consumers (the df-cap count and both self-join sides), and
+    without the persist the arrow winnowing pass (one md5 per k-gram
+    in python) re-ran per consumer (r7, guide §2.4; measured 3x the
+    fingerprint cost at sf1.0)."""
+    from pyspark import StorageLevel
+
     if key_family not in ("string", "xxhash64"):
         raise ValueError(f"key_family must be string|xxhash64, got {key_family!r}")
     fp = (
@@ -169,6 +183,9 @@ def winnow_passage_pairs(
     )
     if key_family == "xxhash64":
         fp = fp.withColumn("_fp", F.xxhash64("_fp"))
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(fp)
     keep = (
         fp.groupBy("_fp")
         .agg(F.count("*").alias("_df"))
