@@ -476,11 +476,17 @@ def q_o4_pack_commands(spark, sf):
     from crypto_crawler_rs_spark.operators.packing import pack_commands
 
     li = _t(spark, sf, "lineitem")
+    # r7 (guide §2.4): ONE shuffle instead of two — repartition by
+    # host first; HashPartitioning(host) satisfies the distinct's
+    # ClusteredDistribution(host,url,priority) (dedup runs
+    # partition-local) AND pack_commands' groupBy(host) reuses the
+    # same partitioning, so the 6M-row item table crosses the wire
+    # once.  Same rows, same pack output.
     items = li.select(
         F.col("l_suppkey").cast("string").alias("host"),
         F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey").alias("url"),
         F.col("l_orderkey").alias("priority"),
-    ).distinct()
+    ).repartition(F.col("host")).dropDuplicates()
     return pack_commands(items, byte_budget=256, max_items=25)
 
 

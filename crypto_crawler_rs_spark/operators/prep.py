@@ -80,7 +80,13 @@ def prep_corpus(
     path's LSH shingle index) for caller-side unpersist (same
     contract as minhash_lsh_pairs).
     """
-    stats = docs.select(
+    from ..functions.partitioning import spread_small_scan
+
+    # r7: the gate's codegen'd stat expressions (lang-ID marker
+    # intersects + quality ratios) are map-side CPU over what is a
+    # single-split parquet scan at bench scale — spread first (no-op
+    # at real scan widths)
+    stats = spread_small_scan(docs).select(
         F.col(id_col),
         F.col(text_col),
         lang_id(text_col).alias("lang"),
