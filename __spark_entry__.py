@@ -413,7 +413,11 @@ def q_f4_classify_frames(spark, sf):
     """F4 message classification: Normal / Ping / Reconnect dispatch
     per payload (MiscMessage, crypto-ws-client/src/common/
     message_handler.rs:4-22; binance classifier clients/binance.rs:296-321)."""
-    e = _t(spark, sf, "events")
+    from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
+
+    # r7: the per-row JSON probe is map-side CPU over a single-split
+    # scan at bench scale — spread first (no-op at real scan widths)
+    e = spread_small_scan(_t(spark, sf, "events").select("event_type", "props"))
     k = F.get_json_object("props", "$.k").cast("int")
     klass = (
         F.when(k < 10, "ping")
@@ -536,10 +540,16 @@ def q_m1_msgtype_command_map(spark, sf):
     (crypto-msg-type/src/lib.rs:55-77; per-exchange catalog
     exchanges/binance.rs:5-15) instead of an inline CASE: events get
     a cycling msg_type, the dim join renders the channel."""
+    from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
+
     mapping = spark.createDataFrame(
         _MSGTYPE_CHANNELS, "msg_type string, raw_channel string"
     )
-    e = _t(spark, sf, "events")
+    # r7: spread the single-split scan so the broadcast-join probe +
+    # channel rendering use every core (no-op at real scan widths)
+    e = spread_small_scan(
+        _t(spark, sf, "events").select("event_id", "event_type")
+    )
     msg_type = F.element_at(
         F.array(*[F.lit(m) for m, _ in _MSGTYPE_CHANNELS]),
         (F.col("event_id") % 6 + 1).cast("int"),

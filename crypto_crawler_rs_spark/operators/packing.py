@@ -18,7 +18,6 @@ group; the output carries (group, bin_id, position).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -39,18 +38,11 @@ def pack_commands(
     out_schema = f"{group_col} string, {item_col} string, {priority_col} long, bin_id int, bin_pos int"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        # r7: the greedy is per-group sequential by contract, but the
-        # surrounding work need not be pandas-heavy (10k groups = 10k
-        # python calls): numpy lexsort replaces sort_values (stable,
-        # same (priority, item) order), the utf-8 cost vector is
-        # computed once, and the loop runs over plain python ints.
-        items = pdf[item_col].to_numpy()
-        order = np.lexsort((items, pdf[priority_col].to_numpy()))
-        items_sorted = items[order]
-        costs = [len(s.encode("utf-8")) + overhead_per_item for s in items_sorted]
+        pdf = pdf.sort_values([priority_col, item_col], kind="mergesort")
         bin_id, bin_pos, used = 0, 0, 0
         ids, poss = [], []
-        for cost in costs:
+        for item in pdf[item_col]:
+            cost = len(item.encode("utf-8")) + overhead_per_item
             if bin_pos > 0 and (used + cost > byte_budget or bin_pos >= max_items):
                 bin_id += 1
                 bin_pos, used = 0, 0
@@ -58,10 +50,10 @@ def pack_commands(
             poss.append(bin_pos)
             bin_pos += 1
             used += cost
-        out = pdf.iloc[order, :][[group_col, item_col, priority_col]]
-        out["bin_id"] = pd.array(ids, dtype="int32")
-        out["bin_pos"] = pd.array(poss, dtype="int32")
-        return out
+        pdf = pdf[[group_col, item_col, priority_col]].copy()
+        pdf["bin_id"] = pd.array(ids, dtype="int32")
+        pdf["bin_pos"] = pd.array(poss, dtype="int32")
+        return pdf
 
     return (
         df.select(group_col, item_col, priority_col)

@@ -86,7 +86,7 @@ def prep_corpus(
     # intersects + quality ratios) are map-side CPU over what is a
     # single-split parquet scan at bench scale — spread first (no-op
     # at real scan widths)
-    stats = spread_small_scan(docs).select(
+    stats = spread_small_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.col(text_col),
         lang_id(text_col).alias("lang"),
@@ -134,11 +134,17 @@ def prep_corpus(
             # accumulated one cached DataFrame per call — keep at most
             # ONE orphaned cache alive by unpersisting the previous
             # call's on the next call (callers who want deterministic
-            # release pass ``cleanup``)
+            # release pass ``cleanup``).  Same-plan calls SHARE one
+            # cache entry (CacheManager matches by plan), so only a
+            # semantically different previous plan is released —
+            # unpersisting an identical one would evict the entry this
+            # call is about to reuse (a repeated call would recompute
+            # the gate+dedup from scratch every time).
             prev = getattr(prep_corpus, "_orphan_cache", None)
             if prev is not None:
                 try:
-                    prev.unpersist()
+                    if not prev.sameSemantics(unique_docs):
+                        prev.unpersist()
                 except Exception:
                     pass
             prep_corpus._orphan_cache = unique_docs

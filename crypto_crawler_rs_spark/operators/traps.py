@@ -63,9 +63,14 @@ def trap_patterns(
     fake trap (ADVICE r4).  Canonicalize first
     (functions/urls.canonicalize_udf) if such rows must count.
     """
+    from ..functions.partitioning import spread_small_scan
+
     u = F.col(url_col)
+    # r7: the per-url regexp masking is map-side CPU — spread a
+    # narrow input first (no-op at real scan widths)
     return (
-        urls.select(
+        spread_small_scan(urls)
+        .select(
             host_of(u).alias("host"),
             mask_pattern(u).alias("pattern"),
             u.alias("_url"),
