@@ -37,11 +37,7 @@ def train_unigram_logprobs(
     corpus.  Returns (logp_df(token, logp), n_tokens, vocab_size) —
     the two scalars feed the unknown-token probability
     ``ln(k / (N + k·V))`` when scoring a different corpus."""
-    from ..functions.partitioning import spread_small_scan
-
-    # r7: token explode + map-side combine are scan-side CPU — spread
-    # a narrow input first (no-op at real scan widths)
-    toks = spread_small_scan(docs.select(text_col)).select(
+    toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -74,10 +70,8 @@ def unigram_surprisal_score(
     rare-token soup (the CCNet tail bucket).  Rounded so a SQL twin's
     different summation order agrees at the driver's
     9-significant-digit float comparison."""
-    from ..functions.partitioning import spread_small_scan
-
     logp, _, _ = train_unigram_logprobs(docs, text_col=text_col, k=k)
-    toks = spread_small_scan(docs.select(id_col, text_col)).select(
+    toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
