@@ -638,13 +638,10 @@ def q_frontier_round0(spark, sf):
     quota, small by construction); the engine swaps in the two-pass
     range-partitioned rank above small_rank_threshold.
     """
-    from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
     from crypto_crawler_rs_spark.functions.urls import canonicalize_udf, host_col
     from crypto_crawler_rs_spark.operators.pop import pop_per_host
 
-    # r7: the arrow canonicalize UDF runs map-side over a single-split
-    # scan at bench scale — spread first (no-op at real scan widths)
-    d = spread_small_scan(_t(spark, sf, "documents").select("doc_id", "source"))
+    d = _t(spark, sf, "documents")
     seeds = d.select(
         F.concat(
             F.lit("https://"), "source", F.lit(".example.org/doc/"),
@@ -1195,17 +1192,12 @@ def q_recrawl_due(spark, sf):
     re-enter the frontier at depth 0, min-depth-merged with the live
     frontier.  Reference analog: hourly catalog re-scan
     (crypto-crawler/src/crawlers/utils.rs:530-537)."""
-    from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
     from crypto_crawler_rs_spark.plans.frontier import (
         merge_recrawl_frontier,
         stale_seen_urls,
     )
 
-    # r7: url synthesis + the stale filter are map-side over a
-    # two-split scan at bench scale — spread first
-    o = spread_small_scan(
-        _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
-    )
+    o = _t(spark, sf, "orders")
     url = F.concat(
         F.lit("https://h"),
         (F.col("o_custkey") % 40).cast("string"),
