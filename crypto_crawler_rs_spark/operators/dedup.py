@@ -249,22 +249,111 @@ def minhash_signatures(
     return ex.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
+def _minhash_sig_rows_arrow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+) -> DataFrame:
+    """``(_id, h0..h{n-1})`` md5-family MinHash signature table in ONE
+    Arrow pass over ``(id, text)`` — bit-identical to the
+    ``groupBy(_id).agg(min(md5('mh{i}#'||s)))`` build (same shingling
+    as :func:`shingle_rows`, same UTF-8 md5 hex, and min over
+    lowercase-hex ASCII strings is the same order under python str,
+    JVM UTF8String and DuckDB collation), but ~an order of magnitude
+    less hashing: a PARTITION-LOCAL memo computes the ``n_hashes``
+    seeded digests once per distinct shingle seen by the task instead
+    of once per (doc, shingle) occurrence.  Web-text shingle
+    frequencies are Zipf — the repeated-shingle mass is exactly the
+    part the JVM agg re-hashes per row and the memo pays once (at
+    bench scale the corpus vocabulary makes the ratio ~10-100x; at
+    web scale the stopword-like head still dominates occurrences).
+    The memo is capped (cleared at 100k entries ≈ a few hundred MB)
+    so executor memory is bounded at any scale; docs with fewer than
+    ``k`` words emit no row, matching the groupBy over their zero
+    shingle rows.  Requires unique ids (true for every caller: raw
+    doc ids, exact-deduped keepers, digest-filtered batches).
+    """
+    from ..functions.partitioning import spread_small_scan
+
+    src = spread_small_scan(docs.select(id_col, text_col))
+    seeds = [f"mh{i}#".encode("utf-8") for i in range(n_hashes)]
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        memo: dict = {}
+        get = memo.get
+        for pdf in batches:
+            ids: list = []
+            cols: list = [[] for _ in range(len(seeds))]
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split(" ")
+                if len(toks) < k:
+                    continue
+                sset = dict.fromkeys(
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - (k - 1))
+                )
+                hl = []
+                ap = hl.append
+                for s in sset:
+                    hs = get(s)
+                    if hs is None:
+                        b = s.encode("utf-8")
+                        hs = tuple(
+                            hashlib.md5(sd + b).hexdigest() for sd in seeds
+                        )
+                        if len(memo) >= 100_000:
+                            memo.clear()
+                        memo[s] = hs
+                    ap(hs)
+                ids.append(did)
+                for col, v in zip(cols, (min(c) for c in zip(*hl))):
+                    col.append(v)
+            out = {"_id": pd.Series(ids, dtype="int64")}
+            for i in range(len(seeds)):
+                out[f"h{i}"] = pd.Series(cols[i], dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = "_id long, " + ", ".join(f"h{i} string" for i in range(n_hashes))
+    return src.mapInPandas(gen, schema=schema)
+
+
 def _band_signatures(
     ex_base: DataFrame,
     n_hashes: int,
     n_bands: int,
     hash_family: str,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
 ) -> DataFrame:
     """``(_id, _band, _sig)`` banded MinHash signatures from a shingle
     table (``shingle_rows`` output) — the shared band construction of
     :func:`minhash_lsh_pairs` and :func:`write_band_index`, so the
-    incremental path collides on bit-identical signatures."""
+    incremental path collides on bit-identical signatures.
+
+    When the caller also passes the source ``docs`` (id, text) and the
+    family is md5, the signature table comes from
+    :func:`_minhash_sig_rows_arrow` (one memoized Arrow pass) instead
+    of the n_hashes-seeded-md5-per-shingle-row JVM aggregation —
+    identical output, ~10x less hashing (r7, guide §4).  The xxhash64
+    family keeps the JVM agg (no python twin of Spark's xxhash64 in
+    this container; its 8-byte keys also hash ~10x faster than md5,
+    so the seeded agg is not the bottleneck there)."""
     rows_per_band = n_hashes // n_bands
-    aggs = [
-        F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = ex_base.groupBy("_id").agg(*aggs)
+    if docs is not None and hash_family == "md5":
+        sig = _minhash_sig_rows_arrow(docs, id_col, text_col, k, n_hashes)
+    else:
+        aggs = [
+            F.min(_family_hash(f"mh{i}", F.col("_s"), hash_family)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        sig = ex_base.groupBy("_id").agg(*aggs)
     # ONE pass, not a union of n_bands branches (r7, guide §2.4): the
     # branch-per-band union re-ran the 32-min-agg final aggregation
     # once per band (the map side deduped via ReusedExchange, the
@@ -329,7 +418,10 @@ def minhash_lsh_pairs(
         # caller unpersists the shingle index after materializing, or
         # a long-lived session accumulates cached partitions per call
         cleanup.append(ex_base)
-    banded = _band_signatures(ex_base, n_hashes, n_bands, hash_family)
+    banded = _band_signatures(
+        ex_base, n_hashes, n_bands, hash_family,
+        docs=df, id_col=id_col, text_col=text_col, k=k,
+    )
     if bucket_cap is not None:
         keep = (
             banded.groupBy("_band", "_sig")
@@ -660,7 +752,10 @@ def write_band_index(
     bit-identical to a full-corpus run."""
     ex = shingle_rows(docs, id_col, text_col, k, impl=shingle_impl)
     ex = ex.persist()
-    banded = _band_signatures(ex, n_hashes, n_bands, hash_family)
+    banded = _band_signatures(
+        ex, n_hashes, n_bands, hash_family,
+        docs=docs, id_col=id_col, text_col=text_col, k=k,
+    )
     (
         banded.withColumn("bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets)))
         .repartition(n_buckets, "bucket")
@@ -757,9 +852,10 @@ def incremental_lsh_pairs(
     )
     if cleanup is not None:
         cleanup.append(ex_new)
-    banded_new = _band_signatures(ex_new, n_hashes, n_bands, hash_family).withColumn(
-        "bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets))
-    )
+    banded_new = _band_signatures(
+        ex_new, n_hashes, n_bands, hash_family,
+        docs=new_docs, id_col=id_col, text_col=text_col, k=k,
+    ).withColumn("bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets)))
     # the new batch is the small side everywhere below; lineage-cut it
     # (band build = n_hashes aggregates re-analyzed per consumer) and
     # let the 2-col table broadcast
