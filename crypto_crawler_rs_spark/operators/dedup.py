@@ -454,12 +454,81 @@ def minhash_lsh_pairs(
     return ja
 
 
+def _simhash_fp_rows_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int,
+) -> DataFrame:
+    """md5-family SimHash fingerprints in ONE Arrow pass — bit-identical
+    to the explode + per-token md5 + n_bits signed-bit-sum aggregation
+    (the bit of digit ``n_digits-1-(b//4)`` at ``b%4`` is bit ``b`` of
+    the first ``n_digits`` hex chars read as an integer), but each
+    DISTINCT token's ±1 bit vector is computed once per partition via
+    a memo instead of once per occurrence (token frequencies are Zipf
+    — same argument as :func:`_minhash_sig_rows_arrow`).  Token
+    multiplicity still counts: sums accumulate over OCCURRENCES,
+    exactly like the JVM sum aggregate.  NULL text emits no row
+    (explode over a NULL split); empty text tokenizes to [""] and
+    gets a fingerprint, both matching the JVM path."""
+    from ..functions.partitioning import spread_small_scan
+
+    assert n_bits % 4 == 0 and n_bits <= 60  # sign-safe in BIGINT
+    src = spread_small_scan(df.select(id_col, text_col))
+    n_digits = n_bits // 4
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = list(range(n_bits))
+        memo: dict = {}
+        get = memo.get
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue  # NULL text: explode(split(NULL)) emits no row
+                toks = text.split(" ")
+                sums = np.zeros(n_bits, dtype=np.int64)
+                for t in toks:
+                    vec = get(t)
+                    if vec is None:
+                        v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:n_digits], 16)
+                        vec = np.array(
+                            [1 if (v >> b) & 1 else -1 for b in shifts],
+                            dtype=np.int8,
+                        )
+                        if len(memo) >= 1_000_000:
+                            memo.clear()
+                        memo[t] = vec
+                    sums += vec
+                fp = 0
+                for b in shifts:
+                    if sums[b] > 0:
+                        fp |= 1 << b
+                ids.append(did)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=f"{id_col} long, simhash long")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "xxhash64",
     n_bits: int = 64,
+    impl: str = "auto",
 ) -> DataFrame:
     """n-bit SimHash per document, entirely JVM-side: explode
     space-split tokens, hash each, and for every bit position sum
@@ -472,8 +541,21 @@ def simhash_fingerprints(
     oracle reproduces the fingerprints exactly; with md5 use
     ``n_bits<=60`` so the fingerprint stays positive in a signed
     BIGINT on both engines (xxhash64 uses the native 64 bits).
+
+    ``impl``: ``'auto'`` (default) uses the memoized Arrow twin
+    :func:`_simhash_fp_rows_arrow` for the md5 family (identical
+    fingerprints, each distinct token hashed once per partition
+    instead of once per occurrence — r7, guide §4); ``'agg'`` forces
+    the JVM explode+sum build (the equivalence pin's reference).
+    xxhash64 always uses the JVM build (native 8-byte hashing is not
+    the bottleneck, and this container has no python xxhash64 twin).
     """
     from ..functions.partitioning import spread_small_scan
+
+    if impl not in ("auto", "agg"):
+        raise ValueError(f"unknown simhash impl {impl!r}")
+    if impl == "auto" and hash_family == "md5":
+        return _simhash_fp_rows_arrow(df, id_col, text_col, n_bits)
 
     # r7: the token explode + per-token hashing + n_bits partial sums
     # all run map-side — spread the single-split bench scan first

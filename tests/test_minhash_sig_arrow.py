@@ -36,6 +36,48 @@ def test_arrow_sig_path_matches_jvm_agg(spark):
     assert o == n
 
 
+def test_simhash_arrow_twin_matches_jvm_agg(spark):
+    from crypto_crawler_rs_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.range(0, 300).selectExpr(
+        "id as doc_id",
+        # repeated tokens both within and across docs: multiplicity
+        # must count (the sums aggregate over occurrences, not the set)
+        "concat_ws(' ', 'alpha', cast(id % 5 as string), 'beta beta', "
+        "cast(id % 2 as string), 'gamma') as text",
+    )
+    o = sorted(
+        map(tuple, simhash_fingerprints(docs, hash_family="md5", n_bits=60, impl="agg").collect())
+    )
+    n = sorted(
+        map(tuple, simhash_fingerprints(docs, hash_family="md5", n_bits=60, impl="auto").collect())
+    )
+    assert len(o) == 300
+    assert o == n
+
+
+def test_simhash_arrow_twin_degenerate_docs(spark):
+    from crypto_crawler_rs_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),       # split('', ' ') == [''] -> one empty token, HAS a row
+            (2, None),     # NULL text -> no exploded rows -> NO fingerprint row
+            (3, "x  y"),   # double space -> empty middle token
+            (4, "a a b"),  # within-doc multiplicity
+        ],
+        "doc_id long, text string",
+    )
+    o = sorted(
+        map(tuple, simhash_fingerprints(docs, hash_family="md5", n_bits=60, impl="agg").collect())
+    )
+    n = sorted(
+        map(tuple, simhash_fingerprints(docs, hash_family="md5", n_bits=60, impl="auto").collect())
+    )
+    assert {r[0] for r in o} == {1, 3, 4}
+    assert o == n
+
+
 def test_arrow_sig_path_degenerate_docs(spark):
     docs = spark.createDataFrame(
         [
