@@ -109,6 +109,126 @@ def quality_features(text_col: str = "text") -> list[Column]:
     ]
 
 
+def gate_count_rows_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
+    """``(id, text, _n_tokens, _n_distinct, _n_chars, _n_keep,
+    _h_<lang>...)`` — the INTEGER counts under :func:`lang_id` +
+    :func:`quality_features`, computed in ONE Arrow pass (r7, guide
+    §4).
+
+    Why this exists: the pure-expression gate duplicates the
+    ``array_distinct(split(trim(text)))`` subtree once per marker
+    comparison (the lang-ID argmax reduce alone holds ~50 copies
+    after CollapseProject re-inlines any factoring, measured 645
+    ``array_intersect`` nodes in the optimized plan), which is big
+    enough that janino REFUSES to compile it and the whole stage
+    falls back to interpreted eval.  This pass tokenizes once per
+    row in python and emits only exact ints; every float ratio and
+    ``round`` stays in the JVM, derived from these ints — so float
+    semantics are untouched by construction, and the python boundary
+    cannot be re-inlined by the optimizer.
+
+    Exact-parity contract with the JVM expressions (pinned by
+    ``tests/test_minhash_sig_arrow.py::test_gate_counts_*``):
+
+    * ``trim`` == stripping the SPACE character (0x20) only —
+      UTF8String.trim touches nothing else, NOT python ``str.strip``
+      (unicode-aware) and not tabs/newlines (verified against the
+      expression path on control-char fixtures);
+    * ``split(_, r'\\s+')`` == ``re.split`` with JAVA ``\\s``
+      ([ \\t\\n\\x0b\\f\\r], ASCII-only) — a leading "" element for
+      empty input survives exactly like Java's split;
+    * ``_n_distinct``/``_h_*`` count distinct elements / marker
+      intersections — set sizes, order-free;
+    * ``_n_chars`` = code points (== UTF8String.numChars);
+    * ``_n_keep`` = length after removing ``[^\\w\\s]`` with ASCII
+      classes (Java default regex semantics);
+    * NULL text emits NULL counts (size/length of NULL), so the JVM
+      argmax/ratio expressions see exactly what they saw before.
+    """
+    import re as _re
+
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {lang: frozenset(LANG_MARKERS[lang]) for lang in langs}
+    trim_chars = " "  # UTF8String.trim strips 0x20 only
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    punct = _re.compile(r"[^\w\s]", _re.ASCII)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            ids = pdf[id_col]
+            texts = pdf[text_col]
+            cols = {
+                "_n_tokens": [None] * n_rows,
+                "_n_distinct": [None] * n_rows,
+                "_n_chars": [None] * n_rows,
+                "_n_keep": [None] * n_rows,
+            }
+            hits = {lang: [None] * n_rows for lang in langs}
+            for i, text in enumerate(texts):
+                if not isinstance(text, str):
+                    continue
+                toks = ws.split(text.strip(trim_chars))
+                tset = set(toks)
+                cols["_n_tokens"][i] = len(toks)
+                cols["_n_distinct"][i] = len(tset)
+                cols["_n_chars"][i] = len(text)
+                cols["_n_keep"][i] = len(punct.sub("", text))
+                for lang in langs:
+                    hits[lang][i] = len(tset & marker_sets[lang])
+            out = {id_col: ids, text_col: texts}
+            for name, vals in cols.items():
+                out[name] = pd.Series(vals, dtype="Int32")
+            for lang in langs:
+                out[f"_h_{lang}"] = pd.Series(hits[lang], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.select(id_col, text_col).dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, {text_col} string, _n_tokens int, "
+        "_n_distinct int, _n_chars int, _n_keep int, "
+        + ", ".join(f"_h_{lang} int" for lang in langs)
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def gate_stats_from_counts(counts, text_col: str = "text") -> list[Column]:
+    """The ``lang`` + :func:`quality_features` columns rebuilt from
+    :func:`gate_count_rows_arrow` output — every expression is the
+    ORIGINAL JVM expression with its heavy set-op subtree replaced by
+    the equivalent integer column, so floats, rounding and NULL
+    propagation are bit-identical to the expression path."""
+    pairs = [
+        F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = reduce(
+        lambda a, b: F.when(
+            (b["hits"] > a["hits"])
+            | ((b["hits"] == a["hits"]) & (b["lang"] < a["lang"])),
+            b,
+        ).otherwise(a),
+        pairs,
+    )
+    lang = F.when(best["hits"] >= 1, best["lang"]).otherwise(F.lit("und"))
+    n = F.col("_n_tokens")
+    n_chars = F.col("_n_chars")
+    safe_n = F.greatest(n, F.lit(1))
+    return [
+        lang.alias("lang"),
+        n.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_chars / safe_n, 4).alias("chars_per_token"),
+        F.round(F.col("_n_distinct") / safe_n, 4).alias("distinct_ratio"),
+        F.round(
+            (n_chars - F.col("_n_keep")) / F.greatest(n_chars, F.lit(1)), 4
+        ).alias("punct_ratio"),
+        F.round(F.col("_h_en") / safe_n, 4).alias("stopword_ratio"),
+    ]
+
+
 def _word_ngrams(text_col: str, n: int) -> Column:
     """Array of word n-grams (space-joined), pure JVM: zip the n
     shifted slices of the token array pairwise with concat — no

@@ -56,6 +56,7 @@ def prep_corpus(
     fuzzy_n_bands: int = 16,
     fuzzy_hash_family: str = "xxhash64",
     cleanup: list | None = None,
+    stats_impl: str = "auto",
 ) -> DataFrame:
     """Returns one row per SURVIVING document:
     ``(doc_id, text_prepped, lang, n_tokens, n_chunks, n_kept)``
@@ -82,16 +83,39 @@ def prep_corpus(
     """
     from ..functions.partitioning import spread_small_scan
 
-    # r7: the gate's codegen'd stat expressions (lang-ID marker
-    # intersects + quality ratios) are map-side CPU over what is a
-    # single-split parquet scan at bench scale — spread first (no-op
-    # at real scan widths)
-    stats = spread_small_scan(docs.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.col(text_col),
-        lang_id(text_col).alias("lang"),
-        *quality_features(text_col),
-    )
+    # r7: the gate's stat expressions (lang-ID marker intersects +
+    # quality ratios) are map-side CPU over what is a single-split
+    # parquet scan at bench scale — spread first (no-op at real scan
+    # widths)
+    src = spread_small_scan(docs.select(id_col, text_col))
+    if stats_impl == "auto":
+        # r7 second pass: the expression gate duplicates the
+        # tokenize+distinct subtree ~50x (CollapseProject re-inlines
+        # any factoring; janino then refuses the giant method and the
+        # stage runs INTERPRETED).  One Arrow pass emits the exact
+        # integer counts; every float/round stays JVM-side, derived
+        # from those ints — bit-identical by construction
+        # (functions/textstats.gate_count_rows_arrow).
+        from ..functions.textstats import (
+            gate_count_rows_arrow,
+            gate_stats_from_counts,
+        )
+
+        counts = gate_count_rows_arrow(src, id_col, text_col)
+        stats = counts.select(
+            F.col(id_col),
+            F.col(text_col),
+            *gate_stats_from_counts(counts, text_col),
+        )
+    elif stats_impl == "jvm":
+        stats = src.select(
+            F.col(id_col),
+            F.col(text_col),
+            lang_id(text_col).alias("lang"),
+            *quality_features(text_col),
+        )
+    else:
+        raise ValueError(f"unknown stats_impl {stats_impl!r}")
     gated = stats.where(
         F.col("lang").isin(list(langs))
         & F.col("n_tokens").between(min_tokens, max_tokens)

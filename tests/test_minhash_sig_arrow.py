@@ -78,6 +78,66 @@ def test_simhash_arrow_twin_degenerate_docs(spark):
     assert o == n
 
 
+EDGE_TEXTS = [
+    (1, ""),
+    (2, None),
+    (3, "   "),
+    (4, "\t\n the and of \r\n"),      # trim touches 0x20 only; Java split keeps trailing ""
+    (5, " the and of"),      # NBSP is NOT Java \s
+    (6, "the,and.of!to?in"),
+    (7, "café naïve résumé the and of to"),
+    (8, "\U0001F600 the and of to emoji"),
+    (9, "der die das und ist"),
+    (10, "le la les et est"),
+    (11, "el la los que de"),          # es/pt marker overlap: tie-break
+    (12, "o a os que de um"),
+    (13, "x_y_z a1b2 __ the"),
+    (14, " \x0b\x0c mixed\x0bws "),    # \x0b IS Java \s but NOT trimmed
+    (15, "the the the the and and of"),
+    (16, "　the and　of"),     # ideographic space
+    (17, "a  b   c"),
+    (18, "trailing space "),
+    (19, " leading"),
+]
+
+
+def test_gate_counts_arrow_matches_jvm_expressions(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_crawler_rs_spark.functions.textstats import (
+        gate_count_rows_arrow,
+        gate_stats_from_counts,
+        lang_id,
+        quality_features,
+    )
+
+    edge = spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string")
+    gen = spark.range(0, 200).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', 'the and of', cast(id % 9 as string), 'para um la', "
+        "repeat('tok ', cast(id % 7 as int))) as text",
+    )
+    for docs in (edge, gen):
+        jvm = docs.select(
+            "doc_id", "text", lang_id("text").alias("lang"), *quality_features("text")
+        )
+        c = gate_count_rows_arrow(docs, "doc_id", "text")
+        arr = c.select(F.col("doc_id"), F.col("text"), *gate_stats_from_counts(c))
+        assert jvm.columns == arr.columns
+        assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arr.collect()))
+
+
+def test_prep_corpus_stats_impls_equal(spark, ):
+    from crypto_crawler_rs_spark.operators.prep import prep_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(langs=("en",), min_tokens=20, min_distinct_ratio=0.4,
+              min_stopword_ratio=0.0)
+    a = sorted(map(tuple, prep_corpus(docs, stats_impl="jvm", **kw).collect()))
+    b = sorted(map(tuple, prep_corpus(docs, stats_impl="auto", **kw).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_arrow_sig_path_degenerate_docs(spark):
     docs = spark.createDataFrame(
         [
