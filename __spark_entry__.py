@@ -807,20 +807,19 @@ def q_ann_cosine_topk(spark, sf):
     same row values).  The corpus side is spread across cores first
     (single-row-group parquet = one scan task otherwise)."""
     from crypto_crawler_rs_spark.functions.partitioning import spread_small_scan
+    from crypto_crawler_rs_spark.operators.similarity import _dot, _norm
 
     DIM = 64
 
+    # r7 second pass: same unrolled 0.0-seeded left-fold, built via
+    # similarity._dot/_norm's one-parse F.expr path — the inline py4j
+    # loop cost ~400 JVM round-trips per fold at DataFrame BUILD time
+    # (bit-identical tree either way)
     def unrolled_dot(a, b):
-        out = F.lit(0.0)
-        for i in range(1, DIM + 1):
-            out = out + F.element_at(a, i) * F.element_at(b, i)
-        return out
+        return _dot(a, b, dim=DIM)
 
     def unrolled_norm(a):
-        out = F.lit(0.0)
-        for i in range(1, DIM + 1):
-            out = out + F.element_at(a, i) * F.element_at(a, i)
-        return F.sqrt(out)
+        return _norm(a, dim=DIM)
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(

@@ -32,6 +32,38 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+_IDENT = None  # compiled lazily (module import stays light)
+
+
+def _simple_col_name(c) -> str | None:
+    """The bare column name if ``c`` is a plain named column
+    (``F.col('_unit')``), else None.  One py4j toString call instead
+    of introspecting the expression tree."""
+    global _IDENT
+    import re
+
+    if _IDENT is None:
+        _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    try:
+        s = c._jc.toString()
+    except Exception:
+        return None
+    return s if _IDENT.match(s) else None
+
+
+def _unrolled_sum(terms: list[str]):
+    """``0.0 + t1 + t2 + ...`` as ONE parsed expression.  The unrolled
+    reduce builds the identical tree via ~3 py4j round-trips PER TERM
+    (element_at, *, +) — ~400 JVM calls for a dim-64 dot — which made
+    DataFrame CONSTRUCTION as expensive as execution for the ANN rows
+    (measured: ann_cosine_lsh 1.9 s build vs 1.4 s exec warm).  A
+    generated SQL string parses in one call to the same left-assoc
+    Add/Multiply/ElementAt tree (``0.0D`` keeps the seed a DOUBLE —
+    a bare ``0.0`` parses as DECIMAL), so every double is
+    bit-identical to the reduce-built fold."""
+    return F.expr("0.0D + " + " + ".join(terms))
+
+
 def _dot(a, b, dim: int | None = None):
     """Left-fold dot product.  With ``dim`` (r7): an UNROLLED
     whole-stage-codegen sum — ``0.0 + a[1]*b[1] + a[2]*b[2] + ...`` —
@@ -40,8 +72,18 @@ def _dot(a, b, dim: int | None = None):
     case equal), minus the interpreted-HOF per-element overhead
     (guide §4.1: built-ins beat interpreted lambdas).  Callers must
     only pass ``dim`` when every array has exactly that length
-    (element_at past the end would yield NULL, not a partial sum)."""
+    (element_at past the end would yield NULL, not a partial sum).
+    Named-column inputs take the one-parse :func:`_unrolled_sum`
+    path; arbitrary Column expressions keep the py4j reduce."""
     if dim is not None:
+        na, nb = _simple_col_name(a), _simple_col_name(b)
+        if na is not None and nb is not None:
+            return _unrolled_sum(
+                [
+                    f"element_at(`{na}`, {i + 1}) * element_at(`{nb}`, {i + 1})"
+                    for i in range(dim)
+                ]
+            )
         return reduce(
             lambda acc, i: acc + F.element_at(a, i + 1) * F.element_at(b, i + 1),
             range(dim),
@@ -56,6 +98,16 @@ def _dot(a, b, dim: int | None = None):
 
 def _norm(a, dim: int | None = None):
     if dim is not None:
+        na = _simple_col_name(a)
+        if na is not None:
+            return F.sqrt(
+                _unrolled_sum(
+                    [
+                        f"element_at(`{na}`, {i + 1}) * element_at(`{na}`, {i + 1})"
+                        for i in range(dim)
+                    ]
+                )
+            )
         sq = reduce(
             lambda acc, i: acc + F.element_at(a, i + 1) * F.element_at(a, i + 1),
             range(dim),
@@ -320,11 +372,25 @@ def lsh_bucket_signatures(
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+_PLANE_W_CACHE: dict = {}
+
+
 def _plane_weights(spark, dim: int, n_planes: int, n_tables: int, hash_family: str):
     """Evaluate every hyperplane weight ONCE on the JVM — the same
     hash expressions :func:`_plane_weight` builds per literal, so no
     python re-derivation drift — and return a (tables, planes, dim)
-    float64 matrix.  Doubles roundtrip exactly through py4j/lit."""
+    float64 matrix.  Doubles roundtrip exactly through py4j/lit.
+
+    Memoized per (dim, planes, tables, family) for the process
+    lifetime (r7): the weights are pure derived CONSTANTS — hashes of
+    fixed coordinate strings, independent of any input data — and
+    re-deriving them cost one collect job per signature side (two per
+    LSH query).  Not a result cache: nothing here depends on the
+    corpus."""
+    ck = (dim, n_planes, n_tables, hash_family)
+    hit = _PLANE_W_CACHE.get(ck)
+    if hit is not None:
+        return hit
     import numpy as np
 
     coords = [
@@ -345,6 +411,7 @@ def _plane_weights(spark, dim: int, n_planes: int, n_tables: int, hash_family: s
     W = np.empty((n_tables, n_planes, dim), dtype=np.float64)
     for r in wdf.select("t", "p", "d", w.alias("w")).collect():
         W[r["t"], r["p"], r["d"]] = r["w"]
+    _PLANE_W_CACHE[ck] = W
     return W
 
 

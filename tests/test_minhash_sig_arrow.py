@@ -138,6 +138,44 @@ def test_prep_corpus_stats_impls_equal(spark, ):
     assert a == b and len(a) > 0
 
 
+def test_unrolled_expr_dot_norm_match_reduce_fold(spark):
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    import crypto_crawler_rs_spark.operators.similarity as sim
+
+    assert sim._simple_col_name(F.col("_unit")) == "_unit"
+    assert sim._simple_col_name(F.col("a") + F.col("b")) is None
+    assert sim._simple_col_name(F.col("x._id")) is None
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform("embedding", lambda x: (x * 2).cast("double")).alias("w"),
+    )
+
+    def dot_reduce(a, b, dim):
+        return _reduce(
+            lambda acc, i: acc + F.element_at(a, i + 1) * F.element_at(b, i + 1),
+            range(dim),
+            F.lit(0.0),
+        )
+
+    ref = sorted(map(tuple, v.select(
+        "vec_id",
+        dot_reduce(F.col("v"), F.col("w"), 64).alias("d"),
+        F.sqrt(dot_reduce(F.col("v"), F.col("v"), 64)).alias("n"),
+    ).collect()))
+    got = sorted(map(tuple, v.select(
+        "vec_id",
+        sim._dot(F.col("v"), F.col("w"), 64).alias("d"),
+        sim._norm(F.col("v"), 64).alias("n"),
+    ).collect()))
+    assert ref == got
+
+
 def test_arrow_sig_path_degenerate_docs(spark):
     docs = spark.createDataFrame(
         [
