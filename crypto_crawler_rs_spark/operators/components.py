@@ -160,7 +160,9 @@ def connected_components(
         .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.count()
+    # (r7) no eager count: the max-degree aggregate right below is the
+    # first action over `edges` and fills the persist itself — the
+    # explicit count() was one extra E-row pass per invocation
     # max degree bounds neighbor_min's row count (ADVICE r5): the
     # delta join's output has at most one row per distinct NEIGHBOR
     # of the changed set, i.e. <= n_changed * max_degree — NOT

@@ -112,7 +112,8 @@ def pagerank(
         .repartition(num_partitions, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    wedges.count()
+    # lazy fill (r7): the first iteration's checkpoint job populates
+    # the cache; an eager count() here was one extra E-row pass
 
     from ..functions.ckpt import LocalCheckpointChain
 
@@ -131,11 +132,17 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(n_iter):
-        # one-row aggregate: total rank sitting on sink nodes
-        dang_mass_row = (
-            dangling.join(ranks, "node").agg(F.sum("rank").alias("m")).collect()
+        # total rank sitting on sink nodes, as a ONE-ROW broadcast
+        # inside the same job (r7): collecting it to the driver first
+        # cost a separate job per iteration — at small N the job
+        # launch, not the data, is the iteration floor.  The arithmetic
+        # is unchanged IEEE double ops (coalesce(sum,0.0) == the old
+        # `or 0.0`; the /n_nodes division just moved from python float
+        # to JVM double — same operation, same bits).
+        dang_mass_df = (
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang_mass"))
         )
-        dang_mass = dang_mass_row[0]["m"] or 0.0
         contribs = (
             wedges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -144,12 +151,17 @@ def pagerank(
         )
         prev_ranks = ranks
         ranks = chain.step(  # cut the iteration lineage; release gen k-2
-            nodes.join(contribs, "node", "left").select(
+            nodes.join(contribs, "node", "left")
+            .join(F.broadcast(dang_mass_df))
+            .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("mass", F.lit(0.0)) + F.lit(dang_mass / n_nodes))
+                    * (
+                        F.coalesce("mass", F.lit(0.0))
+                        + F.col("_dang_mass") / F.lit(n_nodes)
+                    )
                 ).alias("rank"),
             )
         )
