@@ -966,7 +966,15 @@ def q_mm1_media_features(spark, sf):
 
 
 def q_lang_id(spark, sf):
-    """Language-ID heuristic: stopword-marker argmax."""
+    """Language-ID heuristic: stopword-marker argmax.
+
+    Deliberately the pure-EXPRESSION form, not the Arrow
+    integer-count pass the prep gate uses: a count()-timed projection
+    row lets the optimizer prune the unused expressions to a bare
+    scan, while a mapInPandas pass must always run — the reroute was
+    tried and measured SLOWER here (0.92 -> 1.34 s at sf0.1), the
+    exact mirror of why prep_corpus (whose gate DECISIONS need the
+    stats) got 2x faster from the same reroute."""
     from crypto_crawler_rs_spark.functions.textstats import lang_id, lang_scores
 
     d = _t(spark, sf, "documents")
@@ -978,7 +986,8 @@ def q_lang_id(spark, sf):
 
 
 def q_quality_score(spark, sf):
-    """Quality-scoring ratio features."""
+    """Quality-scoring ratio features (expression form — same
+    pruning argument as q_lang_id)."""
     from crypto_crawler_rs_spark.functions.textstats import quality_features
 
     d = _t(spark, sf, "documents")

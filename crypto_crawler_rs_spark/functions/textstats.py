@@ -147,6 +147,9 @@ def gate_count_rows_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
     """
     import re as _re
 
+    from .partitioning import spread_small_scan
+
+    df = spread_small_scan(df.select(id_col, text_col))
     langs = sorted(LANG_MARKERS)
     marker_sets = {lang: frozenset(LANG_MARKERS[lang]) for lang in langs}
     trim_chars = " "  # UTF8String.trim strips 0x20 only
@@ -194,12 +197,11 @@ def gate_count_rows_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
-def gate_stats_from_counts(counts, text_col: str = "text") -> list[Column]:
-    """The ``lang`` + :func:`quality_features` columns rebuilt from
-    :func:`gate_count_rows_arrow` output — every expression is the
-    ORIGINAL JVM expression with its heavy set-op subtree replaced by
-    the equivalent integer column, so floats, rounding and NULL
-    propagation are bit-identical to the expression path."""
+def lang_from_hit_cols(min_hits: int = 1) -> Column:
+    """:func:`lang_id`'s argmax rebuilt over the ``_h_<lang>`` integer
+    columns of :func:`gate_count_rows_arrow` — the identical
+    reduce/when tree with the heavy marker-intersect subtrees replaced
+    by plain column references."""
     pairs = [
         F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang"))
         for lang in sorted(LANG_MARKERS)
@@ -212,7 +214,16 @@ def gate_stats_from_counts(counts, text_col: str = "text") -> list[Column]:
         ).otherwise(a),
         pairs,
     )
-    lang = F.when(best["hits"] >= 1, best["lang"]).otherwise(F.lit("und"))
+    return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+def gate_stats_from_counts(counts, text_col: str = "text") -> list[Column]:
+    """The ``lang`` + :func:`quality_features` columns rebuilt from
+    :func:`gate_count_rows_arrow` output — every expression is the
+    ORIGINAL JVM expression with its heavy set-op subtree replaced by
+    the equivalent integer column, so floats, rounding and NULL
+    propagation are bit-identical to the expression path."""
+    lang = lang_from_hit_cols()
     n = F.col("_n_tokens")
     n_chars = F.col("_n_chars")
     safe_n = F.greatest(n, F.lit(1))
