@@ -833,26 +833,50 @@ def write_band_index(
     :func:`minhash_lsh_pairs`, so cross-batch collisions are
     bit-identical to a full-corpus run."""
     ex = shingle_rows(docs, id_col, text_col, k, impl=shingle_impl)
-    ex = ex.persist()
+    # r7: on the md5/arrow path _band_signatures re-shingles from
+    # ``docs`` inside its own Arrow pass and never reads ``ex`` — the
+    # shingle table then has exactly ONE consumer (the shingles write)
+    # and a persist would only add a cache-write pass.  The JVM-agg
+    # path consumes ``ex`` twice (signature agg + shingles write), so
+    # it keeps the persist.
+    arrow_sigs = docs is not None and hash_family == "md5"
+    if not arrow_sigs:
+        ex = ex.persist()
     banded = _band_signatures(
         ex, n_hashes, n_bands, hash_family,
         docs=docs, id_col=id_col, text_col=text_col, k=k,
     )
-    (
-        banded.withColumn("bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets)))
-        .repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path.rstrip("/") + "/bands")
-    )
-    (
-        ex.withColumn("bucket", F.pmod(F.hash("_id"), F.lit(n_buckets)))
-        .repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path.rstrip("/") + "/shingles")
-    )
-    ex.unpersist()
+
+    def _write(df: DataFrame, part_col: str, sub: str) -> None:
+        (
+            df.withColumn("bucket", F.pmod(F.hash(part_col), F.lit(n_buckets)))
+            .repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path.rstrip("/") + "/" + sub)
+        )
+
+    if arrow_sigs:
+        # the two writes share no lineage here (bands come from the
+        # Arrow doc pass, shingles from ``ex``) — submit them from two
+        # driver threads so the second job back-fills the first's tail
+        # (guide §2.6); output files are identical either way.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        jobs = (
+            lambda: _write(banded, "_sig", "bands"),
+            lambda: _write(ex, "_id", "shingles"),
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(inheritable_thread_target(j)) for j in jobs]
+            for f in futs:
+                f.result()
+    else:
+        _write(banded, "_sig", "bands")
+        _write(ex, "_id", "shingles")
+        ex.unpersist()
 
 
 def compact_band_index(

@@ -210,3 +210,51 @@ def test_probe_scans_are_bucket_pruned(spark, tmp_path):
         # post-scan Filter
         pf = plan[plan.index("PartitionFilters") :][:400]
         assert "bucket" in pf and ("IN" in pf or "isin" in pf), pf
+
+
+def test_write_band_index_threaded_arrow_matches_jvm_agg_build(spark, tmp_path):
+    """r7: the md5/arrow build writes bands+shingles from two driver
+    threads and skips the shingle-table persist (single consumer);
+    the xxhash64 build keeps the sequential persist path.  Both must
+    produce per-bucket hive layouts whose CONTENT matches the shared
+    _band_signatures / shingle_rows definitions exactly."""
+    import os
+
+    from crypto_crawler_rs_spark.operators.dedup import (
+        _band_signatures,
+        shingle_rows,
+        write_band_index,
+    )
+
+    docs = _docs(spark, _corpus())
+    for fam in ("md5", "xxhash64"):
+        idx = str(tmp_path / f"idx_{fam}")
+        write_band_index(
+            docs, idx, k=3, n_hashes=16, n_bands=8, hash_family=fam,
+            n_buckets=8,
+        )
+        for sub in ("bands", "shingles"):
+            assert any(
+                d.startswith("bucket=") for d in os.listdir(f"{idx}/{sub}")
+            ), (fam, sub)
+        got_bands = sorted(
+            (int(r._id), int(r._band), str(r._sig))
+            for r in spark.read.parquet(f"{idx}/bands").collect()
+        )
+        ex = shingle_rows(docs, "doc_id", "text", 3)
+        want_bands = sorted(
+            (int(r._id), int(r._band), str(r._sig))
+            for r in _band_signatures(
+                ex, 16, 8, fam, docs=docs, id_col="doc_id",
+                text_col="text", k=3,
+            ).collect()
+        )
+        assert got_bands == want_bands, fam
+        got_sh = sorted(
+            (int(r._id), int(r._n), str(r._s))
+            for r in spark.read.parquet(f"{idx}/shingles").collect()
+        )
+        want_sh = sorted(
+            (int(r._id), int(r._n), str(r._s)) for r in ex.collect()
+        )
+        assert got_sh == want_sh, fam
