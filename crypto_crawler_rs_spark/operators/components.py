@@ -160,20 +160,20 @@ def connected_components(
         .dropDuplicates()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # (r7) no eager count: the max-degree aggregate right below is the
-    # first action over `edges` and fills the persist itself — the
-    # explicit count() was one extra E-row pass per invocation
     # max degree bounds neighbor_min's row count (ADVICE r5): the
     # delta join's output has at most one row per distinct NEIGHBOR
     # of the changed set, i.e. <= n_changed * max_degree — NOT
     # <= n_changed.  One changed hub adjacent to most of the graph
     # makes neighbor_min ~N rows; broadcasting that is a driver OOM
-    # at exactly the 10^9-node scale this operator targets.  One
-    # cached-scan aggregate up front buys a safe gate for every
-    # iteration (LSH/near-dup output is bounded-degree, so the
-    # no-shuffle fast path still engages there).
-    max_deg_row = edges.groupBy("b").count().agg(F.max("count")).first()
-    max_deg = int(max_deg_row[0] or 1)
+    # at exactly the 10^9-node scale this operator targets.
+    # (r7 second pass) no standalone aggregate job either: iteration
+    # 0's delta is the FULL label set, so its edges⋈delta groupBy("a")
+    # already sees every node's whole neighborhood — a count("*")
+    # riding in that same aggregate IS the degree, and an Observation
+    # on the iter-0 checkpoint surfaces max(_deg) without a separate
+    # E-row pass.  The gates that need max_deg all run with
+    # n_changed not None, i.e. strictly after iteration 0 resolved it.
+    max_deg: int | None = None
 
     chain = LocalCheckpointChain(spark, keep=2)
     labels = chain.step(
@@ -204,10 +204,13 @@ def connected_components(
         )
         if n_changed is not None and n_changed <= delta_broadcast_rows:
             delta_src = F.broadcast(delta_src)
+        aggs = [F.min("nbr").alias("nbr_min")]
+        if max_deg is None:
+            aggs.append(F.count("*").alias("_deg"))
         neighbor_min = (
             edges.join(delta_src, "b")
             .groupBy("a")
-            .agg(F.min("nbr").alias("nbr_min"))
+            .agg(*aggs)
             .withColumnRenamed("a", "node")
         )
         if (
@@ -229,12 +232,24 @@ def connected_components(
             F.least("component", F.coalesce("nbr_min", "component")).alias(
                 "component"
             ),
+            *([F.col("_deg")] if max_deg is None else []),
         )
         iter_persist = None
         if it == 0:
             # round 0's delta is the FULL edge set — materialize it so
             # the jump joins below don't run the E-row pass repeatedly.
+            deg_obs = None
+            if max_deg is None:
+                deg_obs = Observation()
+                combined = combined.observe(
+                    deg_obs, F.max("_deg").alias("maxdeg")
+                )
             combined = chain.step(combined)
+            if deg_obs is not None:
+                # the checkpoint above already materialized the plan,
+                # so this get() is a metric read, not a job
+                max_deg = int(deg_obs.get["maxdeg"] or 1)
+                combined = combined.select("node", "_old", "component")
         else:
             # later rounds' combined is a cheap delta plan, but the
             # multi-jump below references it jumps_per_iter + 1 times —
