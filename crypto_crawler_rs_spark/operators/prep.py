@@ -124,17 +124,22 @@ def prep_corpus(
     )
     # exact dedup on raw text: REUSE the audited operator (min-doc_id
     # keeper per md5 — one 16-byte hash per doc shuffles, not the
-    # text) and keep only each hash's keeper row
+    # text).  The survivors are then selected by a SEMI JOIN on the
+    # keeper IDS, not a re-join on text_md5 (r7, guide §2.3/§8): ids
+    # are unique document keys (the contract every downstream stage —
+    # keeper anti-join, chunk_dedup — already assumes), so
+    # "doc_id ∈ keeper_ids" ⇔ "this row is its md5 group's keeper",
+    # and the text-carrying side now joins on an 8-byte key the
+    # planner can satisfy with a broadcast when the keeper set is
+    # small (at bench scale: no text shuffle at all) instead of
+    # always hash-shuffling the payload by text_md5.
     from .dedup import exact_dedup
 
-    keepers = exact_dedup(gated, id_col=id_col, text_col=text_col).select(
-        "text_md5", F.col("keeper_id").alias("_keeper")
+    keep_ids = exact_dedup(gated, id_col=id_col, text_col=text_col).select(
+        F.col("keeper_id").alias(id_col)
     )
-    unique_docs = (
-        gated.withColumn("text_md5", F.md5(text_col))
-        .join(keepers, "text_md5")
-        .where(F.col(id_col) == F.col("_keeper"))
-        .select(id_col, text_col, "lang", "n_tokens")
+    unique_docs = gated.join(keep_ids, id_col, "left_semi").select(
+        id_col, text_col, "lang", "n_tokens"
     )
     if fuzzy_threshold is None:
         # lazy persist (r6): unique_docs feeds chunk_dedup AND the
