@@ -373,6 +373,55 @@ def _band_signatures(
     )
 
 
+def _confirm_pairs(cand: DataFrame, ex: DataFrame, threshold: float) -> DataFrame:
+    """EXACT Jaccard confirmation of candidate pairs against the true
+    shingle sets — the shared final stage of :func:`minhash_lsh_pairs`
+    and :func:`incremental_lsh_pairs`.
+
+    Set-based (r7, guide §2.3 shuffle-fewer-bytes): each doc's
+    distinct shingles are collected into ONE array row
+    (``(_id, _s)`` is distinct by :func:`shingle_rows`'s contract, so
+    ``collect_set`` loses nothing), the candidate pair joins its two
+    arrays by the 8-byte ids, and ``size(array_intersect(...))`` is
+    the same integer the old exploded form counted with
+    candidates⋈shingles⋈shingles + groupBy — that shape shuffled the
+    Σ|shingles| × pairs exploded intermediate twice (~17 M rows at
+    sf1.0 candidate counts) where this one shuffles one array row per
+    doc plus the pair table (measured 2x on the confirm stage at
+    sf1.0 shape; bit-identical jaccard: same ints, same division,
+    same round).  Row width is bounded by the doc's shingle count —
+    the same class as carrying ``text`` through a join, which every
+    upstream stage already does."""
+    sets = ex.groupBy("_id").agg(
+        F.collect_set("_s").alias("_ss"), F.first("_n").alias("_n")
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_ss").alias("_sa"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_ss").alias("_sb"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -438,20 +487,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact confirm: jaccard on true shingle sets of candidates only
-    ex = ex_base
-    ja = (
-        cand.join(ex.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s"), "id_a")
-        .join(ex.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s"), ["id_b", "_s"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("shared"))
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
-    return ja
+    return _confirm_pairs(cand, ex_base, threshold)
 
 
 def _simhash_fp_rows_arrow(
@@ -1031,24 +1067,7 @@ def incremental_lsh_pairs(
     ex_all = old_sh.select("_id", "_n", "_s").unionByName(
         ex_new.select("_id", "_n", "_s")
     )
-    return (
-        cand.join(
-            ex_all.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_s"),
-            "id_a",
-        )
-        .join(
-            ex_all.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_s"),
-            ["id_b", "_s"],
-        )
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("shared"))
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return _confirm_pairs(cand, ex_all, threshold)
 
 
 def chunk_dedup(
