@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -1000,12 +1000,15 @@ def incremental_lsh_pairs(
     ).withColumn("bucket", F.pmod(F.hash("_sig"), F.lit(n_buckets)))
     # the new batch is the small side everywhere below; lineage-cut it
     # (band build = n_hashes aggregates re-analyzed per consumer) and
-    # let the 2-col table broadcast
-    banded_new = banded_new.localCheckpoint()
-    # ≤ n_buckets ints of driver traffic — the static pruning key
-    new_buckets = [
-        r[0] for r in banded_new.select("bucket").distinct().collect()
-    ]
+    # let the 2-col table broadcast.  The static pruning key (≤
+    # n_buckets ints of driver traffic) rides the SAME materialization
+    # as a collect_set Observation instead of a separate distinct+
+    # collect job (r7 — the checkpoint already scans every row).
+    bucket_obs = Observation()
+    banded_new = banded_new.observe(
+        bucket_obs, F.collect_set("bucket").alias("buckets")
+    ).localCheckpoint()
+    new_buckets = list(bucket_obs.get["buckets"])
     old_bands = reduce(
         lambda a, b: a.unionByName(b),
         [
@@ -1033,22 +1036,36 @@ def incremental_lsh_pairs(
         .filter(F.col("x._id") < F.col("y._id"))
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
     )
-    cand = cand_new_old.unionByName(cand_new_new).distinct().localCheckpoint()
     # confirm = exact Jaccard over true shingle sets; the index side
-    # is file-pruned to the candidate ids' buckets (same bounded
-    # collect) then row-pruned by a broadcast semi-join (candidate
-    # count is collision-bounded)
-    cand_ids = cand.select(F.col("id_a").alias("_id")).unionByName(
-        cand.select(F.col("id_b").alias("_id"))
-    ).distinct().localCheckpoint()
-    cand_buckets = [
-        r[0]
-        for r in cand_ids.select(
-            F.pmod(F.hash("_id"), F.lit(n_buckets)).alias("b")
-        )
+    # is file-pruned to the candidate ids' buckets then row-pruned by
+    # a broadcast semi-join (candidate count is collision-bounded).
+    # Both sides' bucket sets (≤ n_buckets ints each) ride the cand
+    # checkpoint as Observation metrics — two fewer driver-barrier
+    # jobs than the old distinct-collect per table (r7).
+    cand_obs = Observation()
+    cand = (
+        cand_new_old.unionByName(cand_new_new)
         .distinct()
-        .collect()
-    ]
+        .observe(
+            cand_obs,
+            F.collect_set(
+                F.pmod(F.hash("id_a"), F.lit(n_buckets))
+            ).alias("ba"),
+            F.collect_set(
+                F.pmod(F.hash("id_b"), F.lit(n_buckets))
+            ).alias("bb"),
+        )
+        .localCheckpoint()
+    )
+    cand_metrics = cand_obs.get
+    cand_buckets = sorted(set(cand_metrics["ba"]) | set(cand_metrics["bb"]))
+    # cand_ids now has a single consumer (the broadcast semi-join) and
+    # derives from the checkpointed cand — no extra checkpoint needed
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
     old_sh = (
         reduce(
             lambda a, b: a.unionByName(b),
