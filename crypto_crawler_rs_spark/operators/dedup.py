@@ -901,12 +901,16 @@ def write_band_index(
 
         from pyspark import inheritable_thread_target
 
+        # pass the SESSION so job tags/local properties are inherited
+        # by the worker threads (the bare-callable form warns and
+        # drops tags on Spark 4)
+        wrap = inheritable_thread_target(docs.sparkSession)
         jobs = (
             lambda: _write(banded, "_sig", "bands"),
             lambda: _write(ex, "_id", "shingles"),
         )
         with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(inheritable_thread_target(j)) for j in jobs]
+            futs = [pool.submit(wrap(j)) for j in jobs]
             for f in futs:
                 f.result()
     else:
