@@ -373,7 +373,12 @@ def _band_signatures(
     )
 
 
-def _confirm_pairs(cand: DataFrame, ex: DataFrame, threshold: float) -> DataFrame:
+def _confirm_pairs(
+    cand: DataFrame,
+    ex: DataFrame,
+    threshold: float,
+    cleanup: list | None = None,
+) -> DataFrame:
     """EXACT Jaccard confirmation of candidate pairs against the true
     shingle sets — the shared final stage of :func:`minhash_lsh_pairs`
     and :func:`incremental_lsh_pairs`.
@@ -392,9 +397,17 @@ def _confirm_pairs(cand: DataFrame, ex: DataFrame, threshold: float) -> DataFram
     same round).  Row width is bounded by the doc's shingle count —
     the same class as carrying ``text`` through a join, which every
     upstream stage already does."""
+    from pyspark import StorageLevel
+
+    # persist (r7): both attach joins aggregate the SAME sets table,
+    # and each side lands in its own broadcast — no shared exchange,
+    # so without the cache the collect_set aggregation runs twice.
+    # Same cleanup contract as the callers' shingle index.
     sets = ex.groupBy("_id").agg(
         F.collect_set("_s").alias("_ss"), F.first("_n").alias("_n")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(sets)
     return (
         cand.join(
             sets.select(
@@ -470,7 +483,16 @@ def minhash_lsh_pairs(
     banded = _band_signatures(
         ex_base, n_hashes, n_bands, hash_family,
         docs=df, id_col=id_col, text_col=text_col, k=k,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist (r7): the self-join below consumes `banded` on BOTH
+    # sides, and the planner broadcasts one of them — no exchange to
+    # reuse, so without the cache the signature build (the arrow md5
+    # pass / the 32-min aggregation) executes twice per query.  The
+    # plan pin: exactly ONE MapInPandas sig pass under the candidate
+    # join (plans/r07/dedup_minhash_lsh_after.txt).  Same cleanup
+    # contract as ex_base.
+    if cleanup is not None:
+        cleanup.append(banded)
     if bucket_cap is not None:
         keep = (
             banded.groupBy("_band", "_sig")
@@ -487,7 +509,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact confirm: jaccard on true shingle sets of candidates only
-    return _confirm_pairs(cand, ex_base, threshold)
+    return _confirm_pairs(cand, ex_base, threshold, cleanup=cleanup)
 
 
 def _simhash_fp_rows_arrow(
@@ -1088,7 +1110,7 @@ def incremental_lsh_pairs(
     ex_all = old_sh.select("_id", "_n", "_s").unionByName(
         ex_new.select("_id", "_n", "_s")
     )
-    return _confirm_pairs(cand, ex_all, threshold)
+    return _confirm_pairs(cand, ex_all, threshold, cleanup=cleanup)
 
 
 def chunk_dedup(

@@ -120,10 +120,14 @@ def test_shingle_impls_equivalent(spark):
 
 
 def test_minhash_cleanup_contract(spark):
-    """minhash_lsh_pairs(cleanup=...) hands back its persisted shingle
-    index so callers can unpersist — same contract ngram_jaccard_pairs
-    got in r3 (long-lived sessions otherwise accumulate cached
-    partitions per invocation)."""
+    """minhash_lsh_pairs(cleanup=...) hands back its persisted
+    intermediates so callers can unpersist — same contract
+    ngram_jaccard_pairs got in r3 (long-lived sessions otherwise
+    accumulate cached partitions per invocation).  r7 added two more
+    persisted intermediates next to the shingle index (the banded
+    signature table consumed by both self-join sides and the
+    collect_set table consumed by both confirm joins), so the list
+    holds three entries — the caller releases them all."""
     from crypto_crawler_rs_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -132,9 +136,10 @@ def test_minhash_cleanup_contract(spark):
         docs, k=3, n_hashes=8, n_bands=4, threshold=0.05, cleanup=held
     )
     out.count()
-    assert len(held) == 1 and held[0].is_cached
-    held[0].unpersist(blocking=True)
-    assert not held[0].is_cached
+    assert len(held) == 3 and all(h.is_cached for h in held)
+    for h in held:
+        h.unpersist(blocking=True)
+    assert not any(h.is_cached for h in held)
 
 
 def test_digest_compaction(spark, tmp_path):
