@@ -116,6 +116,20 @@ def prep_corpus(
         )
     else:
         raise ValueError(f"unknown stats_impl {stats_impl!r}")
+    # persist the stat table (r7 third pass): the keeper semi-join
+    # below references `gated` on BOTH sides (payload + exact_dedup's
+    # aggregation input), and the plan audit showed the gate's Arrow
+    # count pass executing twice per materialization because of it
+    # (plans/r07/prep_corpus_after.txt held two distinct MapInPandas
+    # instances of the same gen).  One executor-local cache of
+    # (id, text, stats) makes the pass run once — measured 1.9–2.2 s
+    # → 0.9–1.0 s for the fuzzy path's checkpoint fill on the 10×
+    # corpus.  Released via `cleanup` or the orphan tracking below,
+    # same contract as unique_docs.
+    from pyspark import StorageLevel
+
+    stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+    new_caches = [stats]
     gated = stats.where(
         F.col("lang").isin(list(langs))
         & F.col("n_tokens").between(min_tokens, max_tokens)
@@ -153,30 +167,29 @@ def prep_corpus(
         # The fuzzy branch below localCheckpoints instead (plan-SIZE
         # blowup there, a cache lookup under the same giant analyzed
         # tree would not help).
-        from pyspark import StorageLevel
-
         unique_docs = unique_docs.persist(StorageLevel.MEMORY_AND_DISK)
-        if cleanup is not None:
-            cleanup.append(unique_docs)
-        else:
-            # ADVICE r6: with no cleanup list a long-lived session
-            # accumulated one cached DataFrame per call — keep at most
-            # ONE orphaned cache alive by unpersisting the previous
-            # call's on the next call (callers who want deterministic
-            # release pass ``cleanup``).  Same-plan calls SHARE one
-            # cache entry (CacheManager matches by plan), so only a
-            # semantically different previous plan is released —
-            # unpersisting an identical one would evict the entry this
-            # call is about to reuse (a repeated call would recompute
-            # the gate+dedup from scratch every time).
-            prev = getattr(prep_corpus, "_orphan_cache", None)
-            if prev is not None:
-                try:
-                    if not prev.sameSemantics(unique_docs):
-                        prev.unpersist()
-                except Exception:
-                    pass
-            prep_corpus._orphan_cache = unique_docs
+        new_caches.append(unique_docs)
+    if cleanup is not None:
+        cleanup.extend(new_caches)
+    else:
+        # ADVICE r6: with no cleanup list a long-lived session
+        # accumulated one cached DataFrame per call — keep at most
+        # ONE call's orphaned caches alive by unpersisting the
+        # previous call's on the next call (callers who want
+        # deterministic release pass ``cleanup``).  Same-plan calls
+        # SHARE one cache entry (CacheManager matches by plan), so
+        # only semantically different previous plans are released —
+        # unpersisting an identical one would evict the entry this
+        # call is about to reuse (a repeated call would recompute
+        # the gate+dedup from scratch every time).
+        prev_caches = getattr(prep_corpus, "_orphan_caches", None) or []
+        for prev in prev_caches:
+            try:
+                if not any(prev.sameSemantics(n) for n in new_caches):
+                    prev.unpersist()
+            except Exception:
+                pass
+        prep_corpus._orphan_caches = new_caches
     if fuzzy_threshold is not None:
         from .components import dedup_keep_list
         from .dedup import minhash_lsh_pairs
