@@ -204,11 +204,47 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= df_cap)
             .select("_sh")
         )
+        # r7: persist the CAPPED index — the self-join consumes it on
+        # both sides and the sizes aggregate once more, and without a
+        # cache each consumer re-runs the df-cap count+join (the
+        # captured plan held FOUR copies of the keep aggregate)
+        ex = ex.drop("_n").join(keep, "_sh").persist(StorageLevel.MEMORY_AND_DISK)
+        if cleanup is not None:
+            cleanup.append(ex)
         # sizes recomputed over the SURVIVING shingles so the Jaccard
-        # denominator matches the capped sets
-        ex = ex.drop("_n").join(keep, "_sh")
+        # denominator matches the capped sets.  r7: sizes are attached
+        # to the AGGREGATED pair counts (one row per doc pair) instead
+        # of riding through the df² join fanout — n_a/n_b are functions
+        # of id_a/id_b, so grouping on the ids alone yields identical
+        # groups with half the aggregate key width, and the capped
+        # index keeps its _sh partitioning into the self-join (no _id
+        # re-shuffle on the fat path; guide §2.3/§2.4).
         sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
-        ex = ex.join(sizes, "_id")
+        a = ex.select(F.col("_id").alias("id_a"), "_sh")
+        b = ex.select(F.col("_id").alias("id_b"), "_sh")
+        counts = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+        pairs = (
+            counts.join(
+                sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
+        return pairs
     a = ex.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_sh"
     )
