@@ -507,15 +507,22 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     # shingle once, reuse for both the signature build and the exact
-    # confirmation join (the shingling scan is the expensive part)
-    ex_base = shingle_rows(df, id_col, text_col, k, impl=shingle_impl).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    if cleanup is not None:
-        # same contract as ngram_jaccard_pairs (ADVICE r3 #4): the
-        # caller unpersists the shingle index after materializing, or
-        # a long-lived session accumulates cached partitions per call
-        cleanup.append(ex_base)
+    # confirmation join (the shingling scan is the expensive part).
+    # r7 4th pass: on the md5/arrow family the signatures come from
+    # the separate memoized Arrow pass over the docs, so the shingle
+    # table's ONLY consumer is the confirm's one sets aggregation —
+    # the persist there was a pure cache-write pass (the same
+    # single-consumer call made in write_band_index's arrow branch).
+    # The JVM-agg family keeps it (signature build + confirm share it).
+    ex_base = shingle_rows(df, id_col, text_col, k, impl=shingle_impl)
+    if hash_family != "md5":
+        ex_base = ex_base.persist(StorageLevel.MEMORY_AND_DISK)
+        if cleanup is not None:
+            # same contract as ngram_jaccard_pairs (ADVICE r3 #4): the
+            # caller unpersists the shingle index after materializing,
+            # or a long-lived session accumulates cached partitions
+            # per call
+            cleanup.append(ex_base)
     banded = _band_signatures(
         ex_base, n_hashes, n_bands, hash_family,
         docs=df, id_col=id_col, text_col=text_col, k=k,
@@ -1143,8 +1150,19 @@ def incremental_lsh_pairs(
         stats_out["shingles_plan"] = (
             old_sh._jdf.queryExecution().executedPlan().toString()
         )
+    # r7: prune the NEW side to candidate ids too — the confirm's
+    # attach joins are inner on the pair ids, so docs in no candidate
+    # pair never contribute, yet the whole batch's shingles were
+    # feeding the collect_set aggregate (the old side was already
+    # candidate-pruned).  cand_ids derives from the checkpointed cand,
+    # so the extra consumer re-runs only a tiny distinct.  Measured
+    # flat at bench shape (the aggregate was not the warm cost), kept
+    # because it bounds the confirm by the collision count instead of
+    # the batch size — the operator's own scale contract.
     ex_all = old_sh.select("_id", "_n", "_s").unionByName(
-        ex_new.select("_id", "_n", "_s")
+        ex_new.select("_id", "_n", "_s").join(
+            F.broadcast(cand_ids), "_id", "left_semi"
+        )
     )
     return _confirm_pairs(cand, ex_all, threshold, cleanup=cleanup)
 
